@@ -1,0 +1,21 @@
+"""pose_refine_tpu: TPU-native 6D pose refinement.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of
+meiqua/pose_refine: batch depth rasterization of pose hypotheses plus
+point-to-plane ICP (projective and nearest-neighbor association), expressed
+as one jitted, vmap-batched program per pose batch.
+"""
+
+from pose_refine_tpu import geometry  # noqa: F401
+from pose_refine_tpu.mesh import Model, load_ply, make_icosphere  # noqa: F401
+from pose_refine_tpu.geometry import compute_proj, LINEMOD_K  # noqa: F401
+from pose_refine_tpu.ops import (  # noqa: F401
+    render,
+    rasterize_dense,
+    rasterize_scatter,
+    raw_to_depth_u16,
+    raw_to_mask_u8,
+    raw_to_depth_mask,
+)
+
+__version__ = "0.1.0"

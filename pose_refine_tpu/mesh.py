@@ -1,0 +1,276 @@
+"""Mesh loading: PLY -> triangle soup.
+
+Replaces the reference's Assimp-based loader (renderer.h:27-155,
+renderer.cpp:11-150) with a dependency-free numpy PLY parser (ASCII and
+binary_little_endian). The output matches the reference ``Model``: a flat
+(T, 3, 3) float32 triangle array (triangle soup), the raw vertex/face arrays,
+and the axis-aligned bounding box. Faces with fewer than 3 indices are skipped
+(renderer.cpp:79); faces with more than 3 are fan-triangulated (the reference
+asserts instead; we exceed it).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+_PLY_DTYPES = {
+    "char": "i1", "int8": "i1",
+    "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2",
+    "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4",
+    "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4",
+    "double": "f8", "float64": "f8",
+}
+
+
+@dataclass
+class Model:
+    """Triangle-soup model, the unit of work for the batch renderer.
+
+    Attributes mirror the reference ``cuda_renderer::Model`` (renderer.h:27-155):
+      tris:     (T, 3, 3) float32 - triangle vertices, model units (mm for LINEMOD)
+      vertices: (V, 3) float32
+      faces:    (F, 3) int32 vertex indices
+      bbox_min / bbox_max: (3,) float32 axis-aligned bounds
+    """
+
+    tris: np.ndarray
+    vertices: np.ndarray
+    faces: np.ndarray
+    bbox_min: np.ndarray = field(default=None)
+    bbox_max: np.ndarray = field(default=None)
+
+    def __post_init__(self):
+        self.tris = np.ascontiguousarray(self.tris, dtype=np.float32)
+        self.vertices = np.ascontiguousarray(self.vertices, dtype=np.float32)
+        self.faces = np.ascontiguousarray(self.faces, dtype=np.int32)
+        if self.bbox_min is None:
+            self.bbox_min = self.vertices.min(axis=0) if len(self.vertices) else np.zeros(3, np.float32)
+        if self.bbox_max is None:
+            self.bbox_max = self.vertices.max(axis=0) if len(self.vertices) else np.zeros(3, np.float32)
+
+    @property
+    def n_tris(self) -> int:
+        return int(self.tris.shape[0])
+
+    @classmethod
+    def from_vertices_faces(cls, vertices, faces) -> "Model":
+        vertices = np.asarray(vertices, dtype=np.float32)
+        faces = np.asarray(faces, dtype=np.int32)
+        tris = vertices[faces]  # (F, 3, 3)
+        return cls(tris=tris, vertices=vertices, faces=faces)
+
+    @classmethod
+    def load(cls, path: str, verbose: bool = True) -> "Model":
+        """Load a PLY mesh. Warns above 10k faces like renderer.cpp:54-55."""
+        vertices, faces = load_ply(path)
+        model = cls.from_vertices_faces(vertices, faces)
+        if verbose:
+            print(f"load model success: {path}")
+            print(f"face(triangles) nums: {len(model.faces)}")
+            print(f"       vertices nums: {len(model.vertices)}")
+            if len(model.faces) > 10000:
+                print("you may want tools like meshlab to simplify models to speed up rendering")
+        return model
+
+
+def load_ply(path: str):
+    """Minimal, dependency-free PLY reader -> (vertices (V,3) f32, faces (F,3) i32).
+
+    Supports format ascii 1.0 and binary_little_endian 1.0, arbitrary extra
+    vertex properties (skipped), and uchar/int vertex_indices face lists.
+    Polygons are fan-triangulated.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+
+    header_end = data.find(b"end_header")
+    if header_end < 0:
+        raise ValueError(f"{path}: not a PLY file (no end_header)")
+    header_end = data.find(b"\n", header_end) + 1
+    header = data[:header_end].decode("ascii", errors="replace")
+
+    fmt = None
+    elements = []  # list of (name, count, [(prop_kind, dtype(s), name)])
+    for line in header.splitlines():
+        parts = line.strip().split()
+        if not parts:
+            continue
+        if parts[0] == "format":
+            fmt = parts[1]
+        elif parts[0] == "element":
+            elements.append([parts[1], int(parts[2]), []])
+        elif parts[0] == "property":
+            if parts[1] == "list":
+                elements[-1][2].append(("list", (_PLY_DTYPES[parts[2]], _PLY_DTYPES[parts[3]]), parts[4]))
+            else:
+                elements[-1][2].append(("scalar", _PLY_DTYPES[parts[1]], parts[2]))
+
+    if fmt not in ("ascii", "binary_little_endian"):
+        raise ValueError(f"{path}: unsupported PLY format {fmt!r}")
+
+    body = data[header_end:]
+    vertices, faces = None, None
+
+    if fmt == "ascii":
+        # Tokenize the whole body once; consume per element.
+        tokens = body.split()
+        pos = 0
+        for name, count, props in elements:
+            if name == "vertex" and all(k == "scalar" for k, _, _ in props):
+                n_props = len(props)
+                arr = np.array(tokens[pos: pos + count * n_props], dtype=np.float64)
+                arr = arr.reshape(count, n_props)
+                pos += count * n_props
+                names = [p[2] for p in props]
+                ix, iy, iz = names.index("x"), names.index("y"), names.index("z")
+                vertices = arr[:, [ix, iy, iz]].astype(np.float32)
+            elif name == "face":
+                face_rows = []
+                for _ in range(count):
+                    n = int(tokens[pos]); pos += 1
+                    idx = [int(t) for t in tokens[pos: pos + n]]
+                    pos += n
+                    if n >= 3:
+                        for k in range(1, n - 1):  # fan triangulation
+                            face_rows.append((idx[0], idx[k], idx[k + 1]))
+                faces = np.array(face_rows, dtype=np.int32) if face_rows else np.zeros((0, 3), np.int32)
+            else:
+                # skip unknown ASCII element conservatively: must count tokens
+                per_row = sum(1 for k, _, _ in props if k == "scalar")
+                if any(k == "list" for k, _, _ in props):
+                    for _ in range(count):
+                        n = int(tokens[pos]); pos += 1 + n
+                else:
+                    pos += count * per_row
+    else:  # binary_little_endian
+        off = 0
+        for name, count, props in elements:
+            if all(k == "scalar" for k, _, _ in props):
+                dt = np.dtype([(p[2], "<" + p[1]) for p in props])
+                arr = np.frombuffer(body, dtype=dt, count=count, offset=off)
+                off += dt.itemsize * count
+                if name == "vertex":
+                    vertices = np.stack(
+                        [arr["x"], arr["y"], arr["z"]], axis=-1
+                    ).astype(np.float32)
+            else:
+                # element with list property: parse row by row (faces)
+                face_rows = []
+                for _ in range(count):
+                    row_vals = []
+                    for kind, dts, _pname in props:
+                        if kind == "scalar":
+                            off += np.dtype("<" + dts).itemsize
+                        else:
+                            cnt_dt, idx_dt = np.dtype("<" + dts[0]), np.dtype("<" + dts[1])
+                            n = int(np.frombuffer(body, cnt_dt, 1, off)[0])
+                            off += cnt_dt.itemsize
+                            idx = np.frombuffer(body, idx_dt, n, off)
+                            off += idx_dt.itemsize * n
+                            row_vals = idx
+                    if name == "face" and len(row_vals) >= 3:
+                        for k in range(1, len(row_vals) - 1):
+                            face_rows.append((row_vals[0], row_vals[k], row_vals[k + 1]))
+                if name == "face":
+                    faces = np.array(face_rows, dtype=np.int32) if face_rows else np.zeros((0, 3), np.int32)
+
+    if vertices is None:
+        raise ValueError(f"{path}: PLY has no vertex element")
+    if faces is None:
+        faces = np.zeros((0, 3), np.int32)
+    return vertices, faces
+
+
+def save_ply_ascii(path: str, vertices, faces):
+    """Tiny ASCII PLY writer (fixtures / interop)."""
+    vertices = np.asarray(vertices, dtype=np.float32)
+    faces = np.asarray(faces, dtype=np.int32)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(vertices)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write(f"element face {len(faces)}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        for v in vertices:
+            f.write(f"{v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for face in faces:
+            f.write(f"3 {face[0]} {face[1]} {face[2]}\n")
+
+
+# ---------------------------------------------------------------------------
+# Fixtures: reference asset discovery + procedural meshes for tests
+# ---------------------------------------------------------------------------
+
+REFERENCE_ASSET_CANDIDATES = (
+    os.environ.get("POSE_REFINE_TEST_PLY", ""),
+    "/root/reference/test/obj_06.ply",
+)
+
+
+def find_reference_ply():
+    """Path to the LINEMOD obj_06.ply benchmark asset, if available."""
+    for p in REFERENCE_ASSET_CANDIDATES:
+        if p and os.path.exists(p):
+            return p
+    return None
+
+
+def make_icosphere(radius: float = 50.0, subdivisions: int = 3) -> Model:
+    """Procedural icosphere (units: mm). ~20*4^s faces; s=3 -> 1280 tris."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array(
+        [
+            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+        ],
+        dtype=np.float64,
+    )
+    faces = np.array(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        dtype=np.int64,
+    )
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+
+    for _ in range(subdivisions):
+        edge_mid = {}
+        new_faces = []
+        verts_list = list(verts)
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edge_mid:
+                m = verts_list[a] + verts_list[b]
+                m /= np.linalg.norm(m)
+                edge_mid[key] = len(verts_list)
+                verts_list.append(m)
+            return edge_mid[key]
+
+        for f3 in faces:
+            a, b, c = int(f3[0]), int(f3[1]), int(f3[2])
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        verts = np.array(verts_list)
+        faces = np.array(new_faces, dtype=np.int64)
+
+    return Model.from_vertices_faces(verts * radius, faces)
+
+
+def load_benchmark_model(verbose: bool = False) -> Model:
+    """The benchmark mesh: LINEMOD obj_06 when available, else an icosphere
+    with a comparable triangle count (so benchmarks stay meaningful offline)."""
+    p = find_reference_ply()
+    if p is not None:
+        return Model.load(p, verbose=verbose)
+    return make_icosphere(radius=50.0, subdivisions=5)  # 20480 tris

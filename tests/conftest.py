@@ -1,0 +1,24 @@
+"""Test configuration: force an 8-device virtual CPU platform so multi-chip
+sharding paths are exercised without TPU hardware.
+
+Mirrors the reference's test strategy of checking the device path against a
+host path (SURVEY.md section 4): here, the same jitted code runs on the CPU
+backend and is compared against numpy oracles; TPU runs the identical program.
+
+NOTE: a pytest plugin in this environment imports jax before conftest runs,
+so env vars (JAX_PLATFORMS / XLA_FLAGS) are too late - use jax.config, which
+takes effect as long as the backend has not been initialized yet.
+"""
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

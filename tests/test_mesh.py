@@ -1,0 +1,51 @@
+import numpy as np
+import pytest
+
+from pose_refine_tpu import mesh
+
+
+def test_icosphere_geometry():
+    m = mesh.make_icosphere(radius=50.0, subdivisions=2)
+    assert m.n_tris == 320
+    # all vertices on the sphere
+    r = np.linalg.norm(m.vertices, axis=1)
+    np.testing.assert_allclose(r, 50.0, atol=1e-3)
+    np.testing.assert_allclose(m.bbox_max, [50, 50, 50], atol=0.5)
+
+
+def test_ply_ascii_roundtrip(tmp_path):
+    m = mesh.make_icosphere(radius=10.0, subdivisions=1)
+    p = str(tmp_path / "ico.ply")
+    mesh.save_ply_ascii(p, m.vertices, m.faces)
+    m2 = mesh.Model.load(p, verbose=False)
+    np.testing.assert_allclose(m2.vertices, m.vertices, atol=1e-4)
+    np.testing.assert_array_equal(m2.faces, m.faces)
+    np.testing.assert_allclose(m2.tris, m.tris, atol=1e-4)
+
+
+def test_quad_fan_triangulation(tmp_path):
+    p = str(tmp_path / "quad.ply")
+    with open(p, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\nelement vertex 4\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "element face 1\nproperty list uchar int vertex_indices\nend_header\n"
+            "0 0 0\n1 0 0\n1 1 0\n0 1 0\n4 0 1 2 3\n"
+        )
+    m = mesh.Model.load(p, verbose=False)
+    assert m.faces.shape == (2, 3)
+    np.testing.assert_array_equal(m.faces, [[0, 1, 2], [0, 2, 3]])
+
+
+def test_reference_asset_if_present():
+    path = mesh.find_reference_ply()
+    if path is None:
+        pytest.skip("reference obj_06.ply not mounted")
+    m = mesh.Model.load(path, verbose=False)
+    # counts from the PLY header of LINEMOD obj_06 (SURVEY.md section 4)
+    assert len(m.vertices) == 15736
+    assert len(m.faces) == 31468
+    assert m.tris.shape == (31468, 3, 3)
+    # LINEMOD meshes are in mm; obj_06 is about 10 cm across
+    extent = m.bbox_max - m.bbox_min
+    assert 30 < extent.max() < 300
