@@ -1,0 +1,182 @@
+"""Point-to-plane ICP, fully on-device and pose-batch ready.
+
+Re-designs the reference ICP (icp.cpp:125-188 CPU / icp.cu:156-217 CUDA) the
+TPU way: the reference round-trips device->host every iteration (29-float
+reduction down, 6x6 solve on host with Eigen, 16-float transform up); here the
+whole outer loop is one ``lax.while_loop`` with the normal equations built by
+an MXU matmul and the damped 6x6 system solved on device, so a vmap over the
+pose batch refines hundreds of hypotheses with zero host synchronization.
+
+Semantics preserved from the reference:
+  * residual b = dot(dst - src, n); A row = [cross(src, n), n] (icp.h:144-163)
+  * mse accumulates point-to-POINT |dst - src|^2, per the Open3D issue the
+    reference cites (icp.h:151-153)
+  * fitness = inliers / cloud size; rmse = sqrt(mse/inliers) (icp.cpp:158-159)
+  * convergence when |dfitness| < rf AND |drmse| < rr (1e-5 each), max 30
+    iterations plus one extra scoring-only pass (icp.h:38-50, icp.cpp:137-166)
+  * count == 0 aborts, keeping the previous scores (icp.cpp:156)
+  * solve: (AtA + 0.01*I) x = Atb, Tikhonov-damped per icpstability.pdf
+    (icp.cpp:29-45); update composes Rz(x2)Ry(x1)Rx(x0) + t (icp.cpp:7-17)
+  * transformation accumulates left-to-right: T <- update @ T (icp.cpp:183)
+
+The reference solves in float64 LDLT; TPUs have no native f64, so the solve is
+float32 Cholesky + one iterative-refinement step (validated to reference
+accuracy in tests/test_icp.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pose_refine_tpu import geometry
+
+F32 = jax.lax.Precision.HIGHEST
+
+
+class ICPConvergenceCriteria(NamedTuple):
+    """Defaults per icp.h:38-50."""
+
+    relative_fitness: float = 1e-5
+    relative_rmse: float = 1e-5
+    max_iteration: int = 30
+
+
+class RegistrationResult(NamedTuple):
+    """Open3D-style result (icp.h:26-36). All fields are arrays so the result
+    is a pytree: batched refinement returns batched results."""
+
+    transformation: jnp.ndarray  # (..., 4, 4)
+    fitness: jnp.ndarray         # (...,) inlier fraction
+    inlier_rmse: jnp.ndarray     # (...,)
+
+
+class _State(NamedTuple):
+    cloud: jnp.ndarray
+    T: jnp.ndarray
+    fitness: jnp.ndarray
+    rmse: jnp.ndarray
+    it: jnp.ndarray
+    done: jnp.ndarray
+
+
+def _solve_damped(AtA, Atb, penalty: float = 0.01):
+    """(AtA + penalty*I) x = Atb in f32 Cholesky + one refinement step,
+    standing in for the reference's f64 LDLT (icp.cpp:29-45)."""
+    M = AtA + penalty * jnp.eye(6, dtype=AtA.dtype)
+    cho = jax.scipy.linalg.cho_factor(M)
+    x = jax.scipy.linalg.cho_solve(cho, Atb)
+    r = Atb - M @ x
+    x = x + jax.scipy.linalg.cho_solve(cho, r)
+    return x
+
+
+def _normal_equations(cloud, valid, query_fn):
+    """One fused association + reduction pass.
+
+    Equivalent of the reference's single transform_reduce over thrust__pcd2Ab
+    (icp.h:128-209, icp.cu:170-172), but shaped for the MXU: build the masked
+    (P, 6) Jacobian rows and reduce AtA/Atb with a matmul instead of packing
+    29-float tuples.
+    """
+    dst, nrm, q_valid = query_fn(cloud)
+    v = (q_valid & valid).astype(cloud.dtype)
+    diff = dst - cloud
+    b = jnp.sum(diff * nrm, axis=-1)
+    arow = jnp.concatenate([jnp.cross(cloud, nrm), nrm], axis=-1) * v[:, None]
+    bm = b * v
+    AtA = jnp.einsum("pi,pj->ij", arow, arow, precision=F32)
+    Atb = jnp.einsum("pi,p->i", arow, bm, precision=F32)
+    count = jnp.sum(v)
+    mse_sum = jnp.sum(jnp.sum(diff * diff, axis=-1) * v)
+    return AtA, Atb, count, mse_sum
+
+
+def icp_point_to_plane(
+    cloud,
+    valid,
+    query_fn: Callable,
+    criteria: ICPConvergenceCriteria = ICPConvergenceCriteria(),
+    n_points=None,
+):
+    """Refine one cloud against a scene.
+
+    Args:
+      cloud:    (P, 3) float32 source points (static padding allowed).
+      valid:    (P,) bool - which rows are real points.
+      query_fn: scene.query - (P, 3) -> (dst, normal, valid).
+      criteria: convergence constants.
+      n_points: divisor for fitness; defaults to sum(valid) (the reference
+                divides by its compacted cloud size, icp.cpp:158).
+
+    Returns:
+      (RegistrationResult, transformed cloud (P, 3)).
+    """
+    cloud = jnp.asarray(cloud, jnp.float32)
+    valid = jnp.asarray(valid, bool)
+    n_total = jnp.sum(valid).astype(jnp.float32) if n_points is None else jnp.asarray(n_points, jnp.float32)
+    max_iter = criteria.max_iteration
+
+    def cond(s: _State):
+        return (s.it <= max_iter) & ~s.done
+
+    def body(s: _State) -> _State:
+        AtA, Atb, count, mse_sum = _normal_equations(s.cloud, valid, query_fn)
+
+        empty = count == 0
+        new_fit = jnp.where(empty, s.fitness, count / jnp.maximum(n_total, 1.0))
+        new_rmse = jnp.where(
+            empty, s.rmse, jnp.sqrt(mse_sum / jnp.maximum(count, 1.0))
+        )
+        scoring_only = s.it == max_iter
+        converged = (
+            (jnp.abs(new_fit - s.fitness) < criteria.relative_fitness)
+            & (jnp.abs(new_rmse - s.rmse) < criteria.relative_rmse)
+        )
+        done = empty | scoring_only | converged
+
+        x = _solve_damped(AtA, Atb)
+        upd = geometry.twist_to_mat4(x)
+        new_cloud = geometry.transform_points(upd, s.cloud)
+        new_T = upd @ s.T
+
+        keep = done  # no solve/update on the terminating pass (icp.cpp:162-166)
+        return _State(
+            cloud=jnp.where(keep, s.cloud, new_cloud),
+            T=jnp.where(keep, s.T, new_T),
+            fitness=new_fit,
+            rmse=new_rmse,
+            it=s.it + 1,
+            done=done,
+        )
+
+    init = _State(
+        cloud=cloud,
+        T=jnp.eye(4, dtype=jnp.float32),
+        fitness=jnp.float32(0.0),
+        rmse=jnp.float32(0.0),
+        it=jnp.int32(0),
+        done=jnp.asarray(False),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return (
+        RegistrationResult(final.T, final.fitness, final.rmse),
+        final.cloud,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("criteria",))
+def icp_point_to_plane_batch(clouds, valids, scene, criteria: ICPConvergenceCriteria = ICPConvergenceCriteria()):
+    """vmap of icp_point_to_plane over a pose batch against one shared scene.
+
+    This is the TPU-native replacement for the reference's per-thread CUDA
+    streams (README.md:15): N hypotheses refine concurrently inside one XLA
+    program. clouds (N, P, 3), valids (N, P).
+    """
+    def one(cloud, valid):
+        return icp_point_to_plane(cloud, valid, scene.query, criteria)
+
+    return jax.vmap(one)(clouds, valids)

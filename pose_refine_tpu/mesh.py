@@ -267,6 +267,21 @@ def make_icosphere(radius: float = 50.0, subdivisions: int = 3) -> Model:
     return Model.from_vertices_faces(verts * radius, faces)
 
 
+def make_bumpy_sphere(radius: float = 40.0, subdivisions: int = 3, bump: float = 0.25) -> Model:
+    """Icosphere with an asymmetric radial modulation - a rotation-recovery
+    test object with no rotational symmetry (a plain sphere would make the
+    golden ICP test ill-posed)."""
+    base = make_icosphere(radius=1.0, subdivisions=subdivisions)
+    v = base.vertices.astype(np.float64)
+    x, y, z = v[:, 0], v[:, 1], v[:, 2]
+    mod = 1.0 + bump * (
+        0.6 * np.sin(3.0 * x + 0.7) * np.cos(2.0 * y)
+        + 0.4 * np.sin(4.0 * z + 1.3) * np.cos(1.0 * x)
+    )
+    verts = v * (radius * mod)[:, None]
+    return Model.from_vertices_faces(verts, base.faces)
+
+
 def load_benchmark_model(verbose: bool = False) -> Model:
     """The benchmark mesh: LINEMOD obj_06 when available, else an icosphere
     with a comparable triangle count (so benchmarks stay meaningful offline)."""

@@ -1,0 +1,71 @@
+"""Depth image -> point cloud.
+
+The reference compacts valid pixels into a dense variable-length array via
+mask -> exclusive-scan -> scatter (icp.cpp:73-117, icp.cu:228-291). Dynamic
+sizes are XLA-hostile, so here the canonical form is a dense (H, W, 3) point
+image + validity mask, with an optional compaction into a *static*
+``max_points`` buffer (cumsum + scatter, one pass, jit-friendly).
+
+The reference's stride>1 path has a known mask-indexing bug and also projects
+with strided pixel indices against the unstrided K (icp.cpp:82,110 - never
+exercised upstream since stride is always 1). We implement striding properly:
+the true pixel coordinate x*stride + tl_x enters the projection.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "tl_x", "tl_y"))
+def depth_image_to_points(depth, K, stride: int = 1, tl_x: int = 0, tl_y: int = 0):
+    """(H, W) int depth in mm -> ((H/s, W/s, 3) float32 points in m, (H/s, W/s) bool mask).
+
+    Point math matches dep2pcd (common.h:47-61): z = dep/1000,
+    x = (u - cx)/fx * z, y = (v - cy)/fy * z; dep == 0 -> invalid.
+    """
+    depth = jnp.asarray(depth)
+    if stride != 1:
+        depth = depth[::stride, ::stride]
+    h, w = depth.shape
+    K = jnp.asarray(K, jnp.float32)
+    u = jnp.arange(w, dtype=jnp.float32)[None, :] * stride + tl_x
+    v = jnp.arange(h, dtype=jnp.float32)[:, None] * stride + tl_y
+    z = depth.astype(jnp.float32) / 1000.0
+    x = (u - K[0, 2]) / K[0, 0] * z
+    y = (v - K[1, 2]) / K[1, 1] * z
+    mask = depth > 0
+    pts = jnp.stack([x, y, z], axis=-1)
+    pts = jnp.where(mask[..., None], pts, 0.0)
+    return pts, mask
+
+
+@functools.partial(jax.jit, static_argnames=("max_points",))
+def compact_points(point_image, mask, max_points: int):
+    """Compact valid points into a static (max_points, 3) buffer.
+
+    The static-shape analog of the reference's exclusive-scan compaction
+    (icp.cpp:61-96): indices = cumsum(mask) - 1, scatter valid points to their
+    slot, slots beyond the valid count stay zero/invalid. Points past
+    ``max_points`` are dropped (choose the budget from the workload; the
+    renderer's object coverage bounds it).
+
+    Returns (points (max_points, 3), valid (max_points,), n_valid ()).
+    """
+    flat_pts = point_image.reshape(-1, 3)
+    flat_mask = mask.reshape(-1)
+    idx = jnp.cumsum(flat_mask) - 1  # slot for each valid pixel
+    n_valid = jnp.sum(flat_mask)
+    dest = jnp.where(flat_mask & (idx < max_points), idx, max_points)  # dropped -> OOB
+    out = jnp.zeros((max_points, 3), jnp.float32).at[dest].set(flat_pts, mode="drop")
+    slot_valid = jnp.arange(max_points) < jnp.minimum(n_valid, max_points)
+    return out, slot_valid, n_valid
+
+
+def depth_to_cloud(depth, K, max_points: int, stride: int = 1, tl_x: int = 0, tl_y: int = 0):
+    """depth2cloud equivalent (icp.h:102-110) with a static point budget."""
+    pts, mask = depth_image_to_points(depth, K, stride=stride, tl_x=tl_x, tl_y=tl_y)
+    return compact_points(pts, mask, max_points)
