@@ -1,0 +1,217 @@
+"""Nearest-neighbor data association (Scene_nn equivalent, pcd_scene.h:48-137).
+
+Two interchangeable device-side query backends behind one Scene interface:
+
+  * ``kdtree``     - the reference's stackless descend-then-backtrack
+                     traversal (pcd_scene.h:61-136) re-expressed as a vmapped
+                     ``lax.while_loop``: no recursion, no stack, parent
+                     pointers + last-visited tracking, bbox min-distance
+                     pruning. Exact NN.
+  * ``bruteforce`` - MXU-tiled exact NN: -2*p.q via matmul over scene chunks
+                     with a running (dist, idx) min. TPU-idiomatic; wins for
+                     moderate scene sizes where traversal divergence hurts.
+
+Both accept an NN iff dist^2 < max_dist_diff^2 (pcd_scene.h:127) and return
+(dst_point, dst_normal, valid).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pose_refine_tpu.scene.kdtree import KDTree, build_kdtree
+
+F32 = jax.lax.Precision.HIGHEST
+FLT_MAX = jnp.float32(3.4028235e38)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneNN:
+    """NN scene pytree. Build with :func:`SceneNN.from_depth` or
+    :func:`SceneNN.from_cloud`."""
+
+    points: jnp.ndarray      # (P, 3) float32, kd-reordered
+    normals: jnp.ndarray     # (P, 3) float32
+    parent: jnp.ndarray      # (M,) int32
+    child: jnp.ndarray       # (M, 2) int32
+    split_dim: jnp.ndarray   # (M,) int32
+    split_v: jnp.ndarray     # (M,) float32
+    bbox: jnp.ndarray        # (M, 6) float32
+    bounds: jnp.ndarray      # (M, 2) int32
+    max_dist_diff: jnp.ndarray  # () float32
+    leaf_cap: int = dataclasses.field(metadata=dict(static=True), default=16)
+    backend: str = dataclasses.field(metadata=dict(static=True), default="kdtree")
+    max_steps: int = dataclasses.field(metadata=dict(static=True), default=512)
+
+    @classmethod
+    def from_cloud(
+        cls,
+        points,
+        normals,
+        max_dist_diff: float = 0.1,
+        leaf_size: int = 10,
+        backend: str = "kdtree",
+    ) -> "SceneNN":
+        tree = build_kdtree(np.asarray(points), np.asarray(normals), leaf_size)
+        # static bound on traversal length: ~2 edges per node visit on the
+        # descend+backtrack walk of a balanced tree, clamped generously
+        depth_bound = 2 * int(np.ceil(np.log2(max(tree.n_nodes, 2)))) + 2
+        max_steps = min(8 * tree.n_nodes, 64 * depth_bound)
+        return cls(
+            points=jnp.asarray(tree.points),
+            normals=jnp.asarray(tree.normals),
+            parent=jnp.asarray(tree.parent),
+            child=jnp.asarray(tree.child),
+            split_dim=jnp.asarray(tree.split_dim),
+            split_v=jnp.asarray(tree.split_v),
+            bbox=jnp.asarray(tree.bbox),
+            bounds=jnp.asarray(tree.bounds),
+            max_dist_diff=jnp.float32(max_dist_diff),
+            leaf_cap=int(2 ** int(np.ceil(np.log2(max(tree.max_leaf_points(), 1))))),
+            backend=backend,
+            max_steps=int(max_steps),
+        )
+
+    @classmethod
+    def from_depth(
+        cls, depth, K, max_dist_diff: float = 0.1, leaf_size: int = 10,
+        backend: str = "kdtree",
+    ) -> "SceneNN":
+        """init_Scene_nn_cpu equivalent (pcd_scene.cpp:4-37): valid pixels ->
+        points + LINEMOD normals -> kd-tree."""
+        from pose_refine_tpu.ops.depth_to_cloud import depth_image_to_points
+        from pose_refine_tpu.ops.normals import estimate_normals
+
+        pts, mask = depth_image_to_points(depth, K)
+        nrm = estimate_normals(depth, K)
+        m = np.asarray(mask).reshape(-1)
+        p = np.asarray(pts).reshape(-1, 3)[m]
+        n = np.asarray(nrm).reshape(-1, 3)[m]
+        return cls.from_cloud(p, n, max_dist_diff, leaf_size, backend)
+
+    # ------------------------------------------------------------------ query
+
+    def query(self, src):
+        if self.backend == "bruteforce":
+            idx, dist_sq = _nn_bruteforce(src, self.points)
+        else:
+            idx, dist_sq = _nn_kdtree(src, self)
+        valid = dist_sq < self.max_dist_diff * self.max_dist_diff
+        return self.points[idx], self.normals[idx], valid
+
+
+def _nn_kdtree(src, scene: SceneNN):
+    """Stackless kd-tree NN for a batch of query points.
+
+    One lax.while_loop per point (vmapped): descend toward the query; at a
+    leaf, scan its <= leaf_cap points; backtrack via parent pointers, visiting
+    the far child only when its subtree bbox could still beat the best
+    distance (pcd_scene.h:84-124). A step cap bounds the loop statically.
+    """
+    leaf_cap = scene.leaf_cap
+    max_steps = scene.max_steps
+
+    def one(p):
+        def cond(s):
+            cur, last, back, bi, bd, steps = s
+            return (cur >= 0) & (steps < max_steps)
+
+        def body(s):
+            cur, last, back, bi, bd, steps = s
+            sd = scene.split_dim[cur]
+            sv = scene.split_v[cur]
+            c1 = scene.child[cur, 0]
+            c2 = scene.child[cur, 1]
+            par = scene.parent[cur]
+            diff = p[sd] - sv
+            best_child = jnp.where(diff < 0, c1, c2)
+            other = jnp.where(diff < 0, c2, c1)
+            is_leaf = (c1 < 0) | (c2 < 0)
+
+            # --- leaf scan (bounded unrolled gather) ---
+            left = scene.bounds[cur, 0]
+            right = scene.bounds[cur, 1]
+            offs = jnp.arange(leaf_cap)
+            lidx = left + offs
+            lval = jnp.take(scene.points, jnp.clip(lidx, 0, scene.points.shape[0] - 1), axis=0)
+            d2 = jnp.sum((lval - p) ** 2, axis=-1)
+            d2 = jnp.where(lidx < right, d2, FLT_MAX)
+            j = jnp.argmin(d2)
+            leaf_bd = d2[j]
+            leaf_bi = lidx[j]
+            upd = is_leaf & ~back & (leaf_bd < bd)
+            bd2 = jnp.where(upd, leaf_bd, bd)
+            bi2 = jnp.where(upd, leaf_bi, bi)
+
+            # --- bbox min-possible-distance pruning (pcd_scene.h:104-111) ---
+            bb = scene.bbox[cur]
+            lo = bb[0::2]
+            hi = bb[1::2]
+            delta = jnp.maximum(lo - p, 0.0) + jnp.maximum(p - hi, 0.0)
+            min_poss = jnp.sum(delta * delta)
+
+            # --- transitions ---
+            # descend, non-leaf: go to near child
+            # descend, leaf:     scan done -> backtrack to parent
+            # backtrack: if far child unvisited and bbox can beat best -> far
+            #            child (descend mode), else continue to parent
+            go_far = back & (last == best_child) & (min_poss <= bd2)
+            nxt = jnp.where(
+                back,
+                jnp.where(go_far, other, par),
+                jnp.where(is_leaf, par, best_child),
+            )
+            nback = jnp.where(back, ~go_far, is_leaf)
+            return (nxt, cur, nback, bi2, bd2, steps + 1)
+
+        init = (jnp.int32(0), jnp.int32(-1), jnp.asarray(False), jnp.int32(0), FLT_MAX, jnp.int32(0))
+        cur, last, back, bi, bd, steps = jax.lax.while_loop(cond, body, init)
+        return bi, bd
+
+    flat = src.reshape(-1, 3)
+    idx, dist = jax.vmap(one)(flat)
+    return idx.reshape(src.shape[:-1]), dist.reshape(src.shape[:-1])
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _nn_bruteforce(src, scene_pts, chunk: int = 2048):
+    """Exact NN by tiled distance matrix on the MXU.
+
+    dist^2 = |p|^2 - 2 p.q + |q|^2; the cross term is a (P, 3) x (3, C)
+    matmul per scene chunk, with a running (dist, idx) min carried through a
+    scan. Memory stays at O(P * chunk).
+    """
+    src = jnp.asarray(src, jnp.float32)
+    flat = src.reshape(-1, 3)
+    n_scene = scene_pts.shape[0]
+    pad = (-n_scene) % chunk
+    pts = jnp.concatenate(
+        [scene_pts, jnp.full((pad, 3), 1e30, scene_pts.dtype)], axis=0
+    ) if pad else scene_pts
+    n_chunks = pts.shape[0] // chunk
+    chunks = pts.reshape(n_chunks, chunk, 3)
+
+    p_sq = jnp.sum(flat * flat, axis=-1)  # (P,)
+
+    def body(carry, sc):
+        best_d, best_i, base = carry
+        cross = jnp.einsum("pi,ci->pc", flat, sc, precision=F32)
+        q_sq = jnp.sum(sc * sc, axis=-1)
+        d = p_sq[:, None] - 2.0 * cross + q_sq[None, :]
+        j = jnp.argmin(d, axis=1)
+        dmin = jnp.take_along_axis(d, j[:, None], axis=1)[:, 0]
+        better = dmin < best_d
+        best_d = jnp.where(better, dmin, best_d)
+        best_i = jnp.where(better, base + j, best_i)
+        return (best_d, best_i + 0, base + chunk), None
+
+    init = (jnp.full(flat.shape[0], FLT_MAX), jnp.zeros(flat.shape[0], jnp.int32), jnp.int32(0))
+    (best_d, best_i, _), _ = jax.lax.scan(body, init, chunks)
+    best_d = jnp.maximum(best_d, 0.0)  # guard fp cancellation
+    return best_i.reshape(src.shape[:-1]), best_d.reshape(src.shape[:-1])

@@ -176,3 +176,27 @@ def test_icp_empty_scene_returns_identity():
     result, _ = icp_mod.icp_point_to_plane(cloud, np.ones(256, bool), query)
     np.testing.assert_array_equal(np.asarray(result.transformation), np.eye(4))
     assert float(result.fitness) == 0.0 and float(result.inlier_rmse) == 0.0
+
+
+def test_golden_recovery_nn_scene():
+    """Same golden recovery through the kd-tree NN scene - the reference
+    demo's default association (test.cpp:83-86, USE_PROJ disabled)."""
+    from pose_refine_tpu.scene.nn import SceneNN
+
+    m = mesh.make_bumpy_sphere(radius=50.0, subdivisions=4)
+    wide, high = 320, 240
+    K = geometry.LINEMOD_K.copy()
+    K[:2] *= 0.5
+    proj = geometry.compute_proj(K, wide, high)
+    pose1, pose2, ang = reference_demo_poses()
+    depth = np.asarray(R.rasterize_dense(m.tris, np.stack([pose1, pose2]), wide, high, proj))
+    cloud, valid, n = depth_to_cloud(depth[0], K, max_points=16384)
+
+    for backend in ("kdtree", "bruteforce"):
+        scene = SceneNN.from_depth(depth[1], K, backend=backend)
+        result, _ = icp_mod.icp_point_to_plane(cloud, valid, scene.query)
+        T = np.asarray(result.transformation)
+        euler = np.asarray(geometry.rotation_to_euler(T[:3, :3]))
+        err_deg = np.abs(euler - ang) / np.pi * 180.0
+        assert (err_deg < 1.5).all(), f"{backend}: angle error {err_deg} deg"
+        assert float(result.fitness) > 0.7, backend

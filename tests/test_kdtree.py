@@ -1,0 +1,106 @@
+import numpy as np
+import pytest
+
+from pose_refine_tpu.scene.kdtree import build_kdtree
+from pose_refine_tpu.scene.nn import SceneNN, _nn_bruteforce
+
+
+def random_cloud(rng, n=3000):
+    pts = rng.uniform(-0.2, 0.2, size=(n, 3)).astype(np.float32)
+    pts[:, 2] += 0.5
+    nrm = rng.normal(size=(n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    return pts, nrm
+
+
+def brute_nn_numpy(queries, pts):
+    d = ((queries[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    return d.argmin(axis=1), d.min(axis=1)
+
+
+def test_tree_invariants(rng):
+    pts, nrm = random_cloud(rng, 2500)
+    tree = build_kdtree(pts, nrm, leaf_size=10)
+
+    leaf = tree.child[:, 0] < 0
+    sizes = tree.bounds[leaf, 1] - tree.bounds[leaf, 0]
+    assert (sizes >= 1).all() and (sizes <= 10).all()
+
+    # leaf ranges partition [0, n)
+    order = np.argsort(tree.bounds[leaf, 0])
+    lb = tree.bounds[leaf][order]
+    assert lb[0, 0] == 0 and lb[-1, 1] == len(pts)
+    assert (lb[1:, 0] == lb[:-1, 1]).all()
+
+    # reordered points are a permutation of the input, normals follow points
+    got = np.sort(tree.points.view([("x", "f4"), ("y", "f4"), ("z", "f4")]), axis=0)
+    want = np.sort(pts.view([("x", "f4"), ("y", "f4"), ("z", "f4")]), axis=0)
+    np.testing.assert_array_equal(got, want)
+    lookup = {tuple(p): tuple(n) for p, n in zip(pts, nrm)}
+    for i in range(0, len(pts), 97):
+        assert lookup[tuple(tree.points[i])] == tuple(tree.normals[i])
+
+    # children bboxes nest inside the parent's split bbox
+    for node in np.nonzero(~leaf)[0][:50]:
+        l, r = tree.bounds[node]
+        seg = tree.points[l:r]
+        np.testing.assert_allclose(tree.bbox[node, 0::2], seg.min(0), rtol=1e-6)
+        np.testing.assert_allclose(tree.bbox[node, 1::2], seg.max(0), rtol=1e-6)
+
+
+def test_kdtree_nn_matches_bruteforce(rng):
+    pts, nrm = random_cloud(rng, 3000)
+    scene = SceneNN.from_cloud(pts, nrm, max_dist_diff=10.0)
+    queries = rng.uniform(-0.3, 0.3, size=(500, 3)).astype(np.float32)
+    queries[:, 2] += 0.5
+
+    dst, dnrm, valid = scene.query(queries)
+    assert bool(np.asarray(valid).all())
+    _, want_d = brute_nn_numpy(queries, np.asarray(scene.points))
+    got_d = ((np.asarray(dst) - queries) ** 2).sum(-1)
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-5, atol=1e-12)
+
+
+def test_bruteforce_backend_matches_kdtree(rng):
+    pts, nrm = random_cloud(rng, 2048 + 123)  # force padding in the chunked scan
+    queries = rng.uniform(-0.3, 0.3, size=(300, 3)).astype(np.float32)
+    queries[:, 2] += 0.5
+
+    kd = SceneNN.from_cloud(pts, nrm, max_dist_diff=10.0, backend="kdtree")
+    bf = SceneNN.from_cloud(pts, nrm, max_dist_diff=10.0, backend="bruteforce")
+    d1, n1, v1 = kd.query(queries)
+    d2, n2, v2 = bf.query(queries)
+    # equal distances (indices may differ on exact ties)
+    g1 = ((np.asarray(d1) - queries) ** 2).sum(-1)
+    g2 = ((np.asarray(d2) - queries) ** 2).sum(-1)
+    np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_max_dist_gate(rng):
+    pts, nrm = random_cloud(rng, 500)
+    scene = SceneNN.from_cloud(pts, nrm, max_dist_diff=0.01)
+    far = np.array([[10.0, 10.0, 10.0]], np.float32)
+    _, _, valid = scene.query(far)
+    assert not bool(np.asarray(valid)[0])
+
+
+def test_duplicate_points_build(rng):
+    # degenerate input: many identical points must still build (tie-alternation
+    # balancing, pcd_scene.cpp:118-133) and query correctly
+    pts = np.tile(np.array([[0.1, 0.2, 0.5]], np.float32), (64, 1))
+    nrm = np.tile(np.array([[0, 0, -1.0]], np.float32), (64, 1))
+    scene = SceneNN.from_cloud(pts, nrm, max_dist_diff=1.0)
+    dst, _, valid = scene.query(np.array([[0.1, 0.2, 0.49]], np.float32))
+    assert bool(np.asarray(valid)[0])
+    np.testing.assert_allclose(np.asarray(dst)[0], [0.1, 0.2, 0.5], rtol=1e-6)
+
+
+def test_single_leaf_tree(rng):
+    pts, nrm = random_cloud(rng, 5)  # below leaf_size: root is a leaf
+    scene = SceneNN.from_cloud(pts, nrm, max_dist_diff=10.0)
+    q = rng.uniform(-0.1, 0.1, (20, 3)).astype(np.float32)
+    dst, _, valid = scene.query(q)
+    _, want_d = brute_nn_numpy(q, pts)
+    got_d = ((np.asarray(dst) - q) ** 2).sum(-1)
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-5)
