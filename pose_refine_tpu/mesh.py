@@ -267,6 +267,30 @@ def make_icosphere(radius: float = 50.0, subdivisions: int = 3) -> Model:
     return Model.from_vertices_faces(verts * radius, faces)
 
 
+def morton_order(tris: np.ndarray) -> np.ndarray:
+    """Spatial (Morton/Z-curve) ordering of triangles by centroid.
+
+    The Pallas rasterizer culls triangle *blocks* by their union screen bbox;
+    index-contiguous blocks must be spatially tight for that to bite. Mesh
+    files usually have decent locality, Morton order guarantees it. Returns
+    the permutation (apply as tris[perm]).
+    """
+    c = tris.mean(axis=1)  # (T, 3) centroids
+    lo, hi = c.min(axis=0), c.max(axis=0)
+    span = np.maximum(hi - lo, 1e-9)
+    q = np.clip(((c - lo) / span * 1023.0).astype(np.uint32), 0, 1023)
+
+    def spread(v):  # interleave 10 bits with 2-bit gaps
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    return np.argsort(code, kind="stable")
+
+
 def make_bumpy_sphere(radius: float = 40.0, subdivisions: int = 3, bump: float = 0.25) -> Model:
     """Icosphere with an asymmetric radial modulation - a rotation-recovery
     test object with no rotational symmetry (a plain sphere would make the

@@ -1,0 +1,259 @@
+"""Production batch depth rasterizer: a Pallas TPU kernel.
+
+The reference scatters one CUDA thread per (triangle, pose) with atomicMin
+into the framebuffer (renderer.cu:152-187). TPUs have no atomics, so this
+kernel inverts the loop into a gather: the grid walks (pose, framebuffer
+tile); each tile min-reduces the depth of every triangle block whose union
+screen bbox intersects it. Culling is hierarchical and fully on-device:
+
+  tile level    - a per-(pose, tile) hit count (XLA-precomputed) lets empty
+                  tiles exit after writing zeros;
+  superblock    - bbox over 8 blocks (1024 triangles), scalars in SMEM;
+  block         - bbox over 128 triangles, scalars in SMEM;
+  triangle      - the reference's own clamped per-triangle bbox test
+                  (renderer.cu:100-125), vectorized on the VPU.
+
+Triangles are expected in a spatially coherent order (mesh.morton_order) so
+index-contiguous blocks have tight screen bboxes.
+
+Layout: framebuffer tiles are (8, 128) f32 vregs; inside the kernel triangles
+live on LANES and pixels on SUBLANES, so per-triangle coefficients broadcast
+with no transposes; the (128, 8) pixel accumulator is transposed once per
+tile on write-out.
+
+Barycentrics are affine in the pixel coordinate (coefficients precomputed per
+pose by XLA), and the perspective depth is min-reduced as 1/denom where
+denom = alpha/z0 + beta/z1 + gamma/z2 and alpha+beta+gamma == 1 by
+construction - the reference's depth variant (renderer.cu:138-139). Output
+semantics match rasterize.py: int32 mm, trunc(frag + 0.5), empty pixel = 0,
+flipped y, ROI crop-while-rendering.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pose_refine_tpu.ops import rasterize as rz
+
+TILE_H = 8
+TILE_W = 128
+BLOCK = 128        # triangles per block (one lane row of coefficients)
+SUPER = 8          # blocks per superblock
+BIG = 3.0e38       # "empty pixel" sentinel, above any real 1/denom
+
+
+def _triangle_setup(tris, poses, proj, width: int, height: int, roi):
+    """Per-(pose, triangle) affine coefficients + clamped bboxes.
+
+    coef (N, 16, Tpad) f32, fields:
+      0..2: beta  = kbx*px + kby*py + kb0
+      3..5: gamma = kgx*px + kgy*py + kg0
+      6..8: denom = ddx*px + ddy*py + dd0   (interpolated 1/z)
+      9..12: x_start, y_start, x_max, y_max  (pixel-loop bounds,
+             x_start = trunc(clamped_bbmin + 0.5), renderer.cu:124-125)
+    bb (N, NB, 4) block union bboxes, sb (N, NSB, 4) superblock unions.
+    """
+    pts2, zcam = rz.screen_triangles(tris, poses, proj, width, height)
+    n, t = pts2.shape[:2]
+    pad = (-t) % (BLOCK * SUPER)
+    if pad:
+        pts2 = jnp.concatenate([pts2, jnp.zeros((n, pad, 3, 2), pts2.dtype)], axis=1)
+        zcam = jnp.concatenate([zcam, jnp.ones((n, pad, 3), zcam.dtype)], axis=1)
+
+    ax, ay = pts2[..., 0, 0], pts2[..., 0, 1]
+    bx, by = pts2[..., 1, 0], pts2[..., 1, 1]
+    cx, cy = pts2[..., 2, 0], pts2[..., 2, 1]
+    area2 = (cx - ax) * (by - ay) - (bx - ax) * (cy - ay)  # 2*signed area
+    inv = 1.0 / area2
+
+    kbx = -(cy - ay) * inv
+    kby = (cx - ax) * inv
+    kb0 = (ax * (cy - ay) - ay * (cx - ax)) * inv
+    kgx = (by - ay) * inv
+    kgy = -(bx - ax) * inv
+    kg0 = (ay * (bx - ax) - ax * (by - ay)) * inv
+
+    iz = 1.0 / zcam
+    diz1 = iz[..., 1] - iz[..., 0]
+    diz2 = iz[..., 2] - iz[..., 0]
+    ddx = kbx * diz1 + kgx * diz2
+    ddy = kby * diz1 + kgy * diz2
+    dd0 = kb0 * diz1 + kg0 * diz2 + iz[..., 0]
+
+    bbmin, bbmax = rz.triangle_bbox(pts2, width, height, roi)
+    x_start = jnp.trunc(bbmin[..., 0] + 0.5)
+    y_start = jnp.trunc(bbmin[..., 1] + 0.5)
+    x_max = bbmax[..., 0]
+    y_max = bbmax[..., 1]
+
+    # degenerate / padded triangles: empty bbox so every test fails
+    bad = ~jnp.isfinite(inv) | (area2 == 0.0)
+    x_start = jnp.where(bad, BIG, x_start)
+    y_start = jnp.where(bad, BIG, y_start)
+    x_max = jnp.where(bad, -BIG, x_max)
+    y_max = jnp.where(bad, -BIG, y_max)
+
+    zero = jnp.zeros_like(kbx)
+    coef = jnp.stack(
+        [kbx, kby, kb0, kgx, kgy, kg0, ddx, ddy, dd0,
+         x_start, y_start, x_max, y_max, zero, zero, zero],
+        axis=1,
+    )  # (N, 16, Tpad)
+    coef = jnp.nan_to_num(coef, nan=0.0, posinf=BIG, neginf=-BIG)
+
+    def unions(xs, ys, xm, ym, group):
+        g = lambda a: a.reshape(n, -1, group)
+        return jnp.stack(
+            [g(xs).min(axis=2), g(ys).min(axis=2), g(xm).max(axis=2), g(ym).max(axis=2)],
+            axis=2,
+        )
+
+    bb = unions(x_start, y_start, x_max, y_max, BLOCK)          # (N, NB, 4)
+    sb = unions(x_start, y_start, x_max, y_max, BLOCK * SUPER)  # (N, NSB, 4)
+    return coef, bb, sb
+
+
+def _tile_counts(bb, out_h: int, out_w: int, height: int, roi):
+    """(N, TY, TX) int32: how many triangle blocks intersect each tile."""
+    ty = -(-out_h // TILE_H)
+    tx = -(-out_w // TILE_W)
+    rx, ry = roi[0], roi[1]
+
+    tile_x_lo = (jnp.arange(tx) * TILE_W + rx).astype(jnp.float32)
+    tile_x_hi = tile_x_lo + (TILE_W - 1)
+    row0 = jnp.arange(ty) * TILE_H
+    tile_py_hi = (height - 1 - ry - row0).astype(jnp.float32)
+    tile_py_lo = tile_py_hi - (TILE_H - 1)
+
+    x0, y0, x1, y1 = bb[..., 0], bb[..., 1], bb[..., 2], bb[..., 3]
+    ix = (x0[:, :, None] <= tile_x_hi) & (x1[:, :, None] >= tile_x_lo)  # (N,NB,TX)
+    iy = (y0[:, :, None] <= tile_py_hi) & (y1[:, :, None] >= tile_py_lo)  # (N,NB,TY)
+    hit = ix[:, :, None, :] & iy[:, :, :, None]  # (N, NB, TY, TX)
+    return hit.sum(axis=1).astype(jnp.int32), ty, tx
+
+
+def _kernel(count_ref, sb_ref, bb_ref, coef_ref, out_ref, acc_ref, *, height, roi, nsb):
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+    rx, ry = roi[0], roi[1]
+
+    x_lo = jnp.float32(tx * TILE_W + rx)
+    py_top = jnp.float32(height - 1 - ry) - jnp.float32(ty * TILE_H)
+    py_bot = py_top - (TILE_H - 1)
+    x_hi = x_lo + (TILE_W - 1)
+    # pixels on sublanes: px[s] = x_lo + s
+    px = x_lo + jax.lax.broadcasted_iota(jnp.int32, (TILE_W, 1), 0).astype(jnp.float32)  # (128, 1)
+
+    nhit = count_ref[0, ty, tx]
+
+    acc_ref[...] = jnp.full((TILE_W, TILE_H), BIG, jnp.float32)
+
+    @pl.when(nhit > 0)
+    def _process():
+        def superblock_body(s, _):
+            s_hit = (
+                (sb_ref[0, s, 0] <= x_hi) & (sb_ref[0, s, 2] >= x_lo)
+                & (sb_ref[0, s, 1] <= py_top) & (sb_ref[0, s, 3] >= py_bot)
+            )
+
+            @pl.when(s_hit)
+            def _():
+                def block_body(b, _):
+                    b_hit = (
+                        (bb_ref[0, b, 0] <= x_hi) & (bb_ref[0, b, 2] >= x_lo)
+                        & (bb_ref[0, b, 1] <= py_top) & (bb_ref[0, b, 3] >= py_bot)
+                    )
+
+                    @pl.when(b_hit)
+                    def _():
+                        off = pl.multiple_of(b * BLOCK, BLOCK)
+                        blk = coef_ref[0, :, pl.ds(off, BLOCK)]  # (16, BLOCK)
+                        kbx, kby, kb0 = blk[0:1], blk[1:2], blk[2:3]   # (1, 128)
+                        kgx, kgy, kg0 = blk[3:4], blk[4:5], blk[5:6]
+                        ddx, ddy, dd0 = blk[6:7], blk[7:8], blk[8:9]
+                        xs, ys_ = blk[9:10], blk[10:11]
+                        xm, ym = blk[11:12], blk[12:13]
+
+                        x_ok = (px >= xs) & (px <= xm)       # (128 px, 128 tri)
+                        bx_beta = kbx * px + kb0
+                        bx_gamma = kgx * px + kg0
+                        bx_denom = ddx * px + dd0
+
+                        # static unroll: lane-dim slices of acc must be
+                        # compile-time constants on TPU
+                        for r in range(TILE_H):
+                            py = py_top - r
+                            beta = bx_beta + kby * py
+                            gamma = bx_gamma + kgy * py
+                            alpha = 1.0 - beta - gamma
+                            denom = bx_denom + ddy * py
+                            cov = (
+                                (beta >= 0.0) & (gamma >= 0.0) & (alpha >= 0.0)
+                                & x_ok & (py >= ys_) & (py <= ym)
+                            )
+                            depth = jnp.where(cov, 1.0 / denom, BIG)
+                            col = jnp.min(depth, axis=1, keepdims=True)  # (128, 1)
+                            acc_ref[:, r : r + 1] = jnp.minimum(
+                                acc_ref[:, r : r + 1], col
+                            )
+
+                    return 0
+
+                jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER, block_body, 0)
+
+            return 0
+
+        jax.lax.fori_loop(0, nsb, superblock_body, 0)
+
+    acc = acc_ref[...]
+    fb = jnp.where(acc >= BIG, 0, jnp.trunc(acc + 0.5).astype(jnp.int32))
+    out_ref[0] = fb.T
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "roi", "interpret")
+)
+def rasterize_pallas(
+    tris,
+    poses,
+    width: int,
+    height: int,
+    proj,
+    roi: Tuple[int, int, int, int] = (0, 0, 0, 0),
+    interpret: bool = False,
+):
+    """Render N poses -> (N, out_h, out_w) int32 depth mm. TPU fast path."""
+    out_w, out_h = rz.roi_shape(width, height, roi)
+    poses = jnp.asarray(poses, jnp.float32)
+    n = poses.shape[0]
+
+    coef, bb, sb = _triangle_setup(tris, poses, proj, width, height, roi)
+    count, ty, tx = _tile_counts(bb, out_h, out_w, height, roi)
+    nb, nsb = bb.shape[1], sb.shape[1]
+
+    kernel = functools.partial(_kernel, height=height, roi=roi, nsb=nsb)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, ty, tx),
+        in_specs=[
+            pl.BlockSpec((1, ty, tx), lambda n_, y, x: (n_, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nsb, 4), lambda n_, y, x: (n_, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nb, 4), lambda n_, y, x: (n_, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 16, coef.shape[2]), lambda n_, y, x: (n_, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TILE_H, TILE_W), lambda n_, y, x: (n_, y, x), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, out_h, out_w), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((TILE_W, TILE_H), jnp.float32)],
+        interpret=interpret,
+    )(count, sb, bb, coef)
+    return out

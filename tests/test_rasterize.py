@@ -141,3 +141,54 @@ def test_reference_mesh_scatter_parity():
     d = np.asarray(R.rasterize_dense(m.tris, poses, 640, 480, proj, roi=roi))
     s = np.asarray(R.rasterize_scatter(m.tris, poses, 640, 480, proj, roi=roi, window=32))
     np.testing.assert_array_equal(s, d)
+
+
+class TestPallas:
+    """Pallas kernel vs the dense oracle (interpret mode on CPU; the same
+    kernel is exercised on real TPU by scripts/bench_raster.py)."""
+
+    def test_matches_dense(self, scene_setup):
+        from pose_refine_tpu.ops.rasterize_pallas import rasterize_pallas
+
+        m, K, proj, poses = scene_setup
+        tris = m.tris[mesh.morton_order(m.tris)]
+        want = np.asarray(R.rasterize_dense(tris, poses, W, H, proj))
+        got = np.asarray(rasterize_pallas(tris, poses, W, H, proj, interpret=True))
+        assert (got != want).mean() < 1e-4
+
+    def test_roi(self, scene_setup):
+        from pose_refine_tpu.ops.rasterize_pallas import rasterize_pallas
+
+        m, K, proj, poses = scene_setup
+        tris = m.tris[mesh.morton_order(m.tris)]
+        roi = (40, 20, 64, 64)
+        want = np.asarray(R.rasterize_dense(tris, poses, W, H, proj, roi=roi))
+        got = np.asarray(rasterize_pallas(tris, poses, W, H, proj, roi=roi, interpret=True))
+        assert got.shape == (len(poses), 64, 64)
+        assert (got != want).mean() < 1e-4
+
+    def test_unordered_triangles_still_correct(self, scene_setup):
+        # Morton order is a perf optimization, never a correctness requirement
+        from pose_refine_tpu.ops.rasterize_pallas import rasterize_pallas
+
+        m, K, proj, poses = scene_setup
+        want = np.asarray(R.rasterize_dense(m.tris, poses[:1], W, H, proj))
+        got = np.asarray(rasterize_pallas(m.tris, poses[:1], W, H, proj, interpret=True))
+        assert (got != want).mean() < 1e-4
+
+    def test_offscreen_empty(self):
+        from pose_refine_tpu.ops.rasterize_pallas import rasterize_pallas
+
+        m = mesh.make_icosphere(radius=10.0, subdivisions=1)
+        proj = geometry.compute_proj(small_K(), W, H)
+        pose = np.asarray(
+            geometry.pose_from_Rt(np.eye(3, dtype=np.float32), np.array([5000, 0, 300], np.float32))
+        )
+        out = np.asarray(rasterize_pallas(m.tris, pose[None], W, H, proj, interpret=True))
+        assert (out == 0).all()
+
+
+def test_morton_order_is_permutation():
+    m = mesh.make_bumpy_sphere(radius=40.0, subdivisions=3)
+    perm = mesh.morton_order(m.tris)
+    assert sorted(perm.tolist()) == list(range(m.n_tris))
