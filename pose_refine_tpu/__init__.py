@@ -17,5 +17,15 @@ from pose_refine_tpu.ops import (  # noqa: F401
     raw_to_mask_u8,
     raw_to_depth_mask,
 )
+from pose_refine_tpu.ops.depth_to_cloud import depth_to_cloud  # noqa: F401
+from pose_refine_tpu.icp import (  # noqa: F401
+    ICPConvergenceCriteria,
+    RegistrationResult,
+    icp_point_to_plane,
+    icp_point_to_plane_batch,
+)
+from pose_refine_tpu.scene import SceneProjective, SceneNN, KDTree, build_kdtree  # noqa: F401
+from pose_refine_tpu.api import PoseRenderer, get_bbox  # noqa: F401
+from pose_refine_tpu.pipeline import PoseRefiner, refine_poses_jit  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,95 @@
+"""Multi-chip scaling: data-parallel pose batches over a device mesh.
+
+The reference's entire concurrency story is one GPU (grid-parallel kernels +
+per-thread streams, SURVEY.md section 5). The TPU-native scaling axis is the
+pose-hypothesis batch: shard it over an ICI-connected mesh with
+jax.sharding + jit and let XLA place the (trivially parallel) per-pose work;
+the model triangles and the scene are replicated, per-pose results come back
+sharded (gather them only if the host needs all of them).
+
+No other parallelism axes exist in this workload - there are no weight
+tensors to TP-shard, no pipeline stages, no sequences, no experts
+(SURVEY.md section 2, parallelism inventory).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pose_refine_tpu import icp
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
+    """1D mesh over the pose-batch (data-parallel) axis."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_pose_batch(mesh: Mesh, init_poses, axis: str = "dp"):
+    """Place (N, 4, 4) poses sharded over the mesh; N must divide evenly
+    (pad with identity poses if needed)."""
+    sharding = NamedSharding(mesh, P(axis, None, None))
+    return jax.device_put(jnp.asarray(init_poses, jnp.float32), sharding)
+
+
+def refine_poses_sharded(
+    tris,
+    init_poses,
+    scene,
+    proj,
+    K,
+    width: int,
+    height: int,
+    max_points: int = 16384,
+    criteria: icp.ICPConvergenceCriteria = icp.ICPConvergenceCriteria(),
+    mesh: Optional[Mesh] = None,
+    axis: str = "dp",
+    use_pallas: bool = False,
+):
+    """Data-parallel refine: the fused render->cloud->ICP program with the
+    pose axis sharded over the mesh. Returns (refined poses, results), both
+    sharded over the pose axis."""
+    from pose_refine_tpu.pipeline import refine_poses_jit
+
+    if mesh is None:
+        mesh = make_mesh(axis=axis)
+
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(axis))
+
+    fn = jax.jit(
+        functools.partial(
+            refine_poses_jit,
+            width=width,
+            height=height,
+            max_points=max_points,
+            criteria=criteria,
+            use_pallas=use_pallas,
+        ),
+        in_shardings=(
+            repl,                                        # tris
+            NamedSharding(mesh, P(axis, None, None)),    # poses
+            jax.tree.map(lambda _: repl, scene),         # scene pytree
+            repl,                                        # proj
+            repl,                                        # K
+        ),
+        out_shardings=(
+            NamedSharding(mesh, P(axis, None, None)),
+            icp.RegistrationResult(
+                transformation=NamedSharding(mesh, P(axis, None, None)),
+                fitness=shard,
+                inlier_rmse=shard,
+            ),
+        ),
+    )
+    poses_sharded = shard_pose_batch(mesh, init_poses, axis)
+    tris = jnp.asarray(tris, jnp.float32)
+    return fn(tris, poses_sharded, scene, jnp.asarray(proj), jnp.asarray(K, jnp.float32))

@@ -1,0 +1,179 @@
+"""End-to-end batched pose refinement: render -> cloud -> associate -> solve.
+
+This is the production pipeline the reference assembles by hand in its demo
+(test.cpp:143-173: render_cuda_keep_in_gpu -> depth2cloud_cuda ->
+init_Scene_*_cuda -> ICP_Point2Plane_cuda), re-designed as ONE jitted XLA
+program over the whole pose batch: the depth images, clouds, associations,
+normal equations and 6x6 solves for all N hypotheses stay on device for the
+entire refinement - zero host round-trips (the reference syncs 29 floats to
+the host per ICP iteration per pose, SURVEY.md 3.2).
+
+Where the reference runs concurrent ICPs via per-thread CUDA streams
+(README.md:15), here the hypothesis axis is simply a vmapped batch dimension,
+and scales further across chips by sharding that axis over a device mesh
+(pose_refine_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pose_refine_tpu import geometry, icp
+from pose_refine_tpu.mesh import Model, morton_order
+from pose_refine_tpu.ops import rasterize as rz
+from pose_refine_tpu.ops.depth_to_cloud import compact_points, depth_image_to_points
+from pose_refine_tpu.scene.nn import SceneNN
+from pose_refine_tpu.scene.projective import SceneProjective
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "max_points", "criteria", "use_pallas"),
+)
+def refine_poses_jit(
+    tris,
+    init_poses,
+    scene,
+    proj,
+    K,
+    width: int,
+    height: int,
+    max_points: int,
+    criteria: icp.ICPConvergenceCriteria,
+    use_pallas: bool = True,
+):
+    """The fused program: render N poses, lift to clouds, run batched ICP.
+
+    Returns (refined_poses (N,4,4), RegistrationResult batch, icp_T (N,4,4)).
+    refined = icp_T @ init (the ICP transform acts on camera-space points,
+    so it left-composes onto the model->camera pose).
+    """
+    if use_pallas:
+        from pose_refine_tpu.ops.rasterize_pallas import rasterize_pallas
+
+        depth = rasterize_pallas(tris, init_poses, width, height, proj)
+    else:
+        depth = rz.rasterize_scatter(tris, init_poses, width, height, proj)
+
+    def lift(d):
+        pts, mask = depth_image_to_points(d, K)
+        return compact_points(pts, mask, max_points)
+
+    clouds, valids, _n = jax.vmap(lift)(depth)
+
+    def one(cloud, valid):
+        return icp.icp_point_to_plane(cloud, valid, scene.query, criteria)
+
+    results, _clouds = jax.vmap(one)(clouds, valids)
+    # ICP acts on camera-space clouds in meters (depth2cloud's mm -> m,
+    # common.h:53); poses carry mm translations, so scale t_icp back to mm
+    # before left-composing onto the model->camera pose.
+    T_mm = results.transformation.at[:, :3, 3].multiply(1000.0)
+    refined = T_mm @ init_poses
+    return refined, results
+
+
+class PoseRefiner:
+    """Refine batches of pose hypotheses of one model against a scene depth.
+
+    Example:
+        refiner = PoseRefiner("obj_06.ply", K=LINEMOD_K)
+        refiner.set_scene_depth(observed_depth_mm)     # builds the scene once
+        poses, results = refiner.refine(init_poses)    # (N,4,4) -> (N,4,4)
+        best = poses[results.fitness.argmax()]
+    """
+
+    def __init__(
+        self,
+        model: Union[str, Model],
+        K,
+        width: int = 640,
+        height: int = 480,
+        scene: str = "projective",
+        max_points: int = 32768,
+        max_dist_diff: float = 0.1,
+        use_pallas: Optional[bool] = None,
+    ):
+        self.model = Model.load(model) if isinstance(model, str) else model
+        self.tris = jnp.asarray(self.model.tris[morton_order(self.model.tris)])
+        self.K = np.asarray(K, np.float32)
+        self.width, self.height = int(width), int(height)
+        self.proj = geometry.compute_proj(self.K, self.width, self.height)
+        self.max_points = int(max_points)
+        self.max_dist_diff = float(max_dist_diff)
+        self.scene_kind = scene
+        self.scene = None
+        if use_pallas is None:
+            use_pallas = jax.default_backend() != "cpu"
+        self.use_pallas = bool(use_pallas)
+
+    def set_scene_depth(self, scene_depth):
+        """Build the association structure from an (H, W) mm depth image.
+        Happens once per frame (SURVEY.md 3.3), not per ICP iteration."""
+        if self.scene_kind == "projective":
+            self.scene = SceneProjective.from_depth(
+                scene_depth, self.K, self.max_dist_diff
+            )
+        elif self.scene_kind in ("nn", "nn_kdtree"):
+            self.scene = SceneNN.from_depth(
+                scene_depth, self.K, self.max_dist_diff, backend="kdtree"
+            )
+        elif self.scene_kind == "nn_bruteforce":
+            self.scene = SceneNN.from_depth(
+                scene_depth, self.K, self.max_dist_diff, backend="bruteforce"
+            )
+        else:
+            raise ValueError(f"unknown scene kind {self.scene_kind!r}")
+        return self
+
+    def set_scene_cloud(self, points, normals):
+        """NN scene directly from a point cloud (KDTree path)."""
+        backend = "bruteforce" if self.scene_kind == "nn_bruteforce" else "kdtree"
+        self.scene = SceneNN.from_cloud(
+            points, normals, self.max_dist_diff, backend=backend
+        )
+        return self
+
+    def refine(
+        self,
+        init_poses,
+        criteria: icp.ICPConvergenceCriteria = icp.ICPConvergenceCriteria(),
+    ):
+        """(N, 4, 4) hypotheses -> (refined (N, 4, 4), RegistrationResult)."""
+        assert self.scene is not None, "set_scene_depth / set_scene_cloud first"
+        init_poses = jnp.asarray(init_poses, jnp.float32)
+        squeeze = init_poses.ndim == 2
+        if squeeze:
+            init_poses = init_poses[None]
+        refined, results = refine_poses_jit(
+            self.tris,
+            init_poses,
+            self.scene,
+            self.proj,
+            jnp.asarray(self.K),
+            self.width,
+            self.height,
+            self.max_points,
+            criteria,
+            self.use_pallas,
+        )
+        if squeeze:
+            refined = refined[0]
+            results = jax.tree.map(lambda x: x[0], results)
+        return refined, results
+
+    @staticmethod
+    def rank(results: icp.RegistrationResult):
+        """Hypothesis re-ranking: best-first indices by (fitness, -rmse).
+
+        The reference exposes fitness/inlier-rmse exactly for this purpose
+        (icp.h:26-36); here they fall out of the batched reduce for free."""
+        fit = np.asarray(results.fitness)
+        rmse = np.asarray(results.inlier_rmse)
+        order = np.lexsort((rmse, -fit))
+        return order

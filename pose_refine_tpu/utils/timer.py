@@ -1,11 +1,15 @@
-"""Wall-clock timing utilities (helper::Timer analog, helper.h:138-155),
-with block_until_ready so device work is actually measured."""
+"""Wall-clock timing utilities (helper::Timer analog, helper.h:138-155).
+
+Timing fences through utils.sync.sync(): on the experimental axon TPU
+backend, jax.block_until_ready returns before execution finishes, so a
+1-element device->host readback is used as the reliable fence.
+"""
 
 from __future__ import annotations
 
 import time
 
-import jax
+from pose_refine_tpu.utils.sync import sync
 
 
 class Timer:
@@ -26,13 +30,13 @@ class Timer:
 
 
 def time_jitted(fn, *args, warmup: int = 2, iters: int = 10, **kwargs):
-    """Median wall-clock seconds of fn(*args), blocking on all outputs."""
+    """Median wall-clock seconds of fn(*args), reliably fenced."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args, **kwargs))
+        sync(fn(*args, **kwargs))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args, **kwargs))
+        sync(fn(*args, **kwargs))
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]

@@ -1,0 +1,95 @@
+import numpy as np
+import pytest
+
+import pose_refine_tpu as prt
+from pose_refine_tpu import geometry, mesh
+from tests.test_icp import reference_demo_poses
+
+W, H = 160, 120
+
+
+@pytest.fixture(scope="module")
+def setup():
+    K = geometry.LINEMOD_K.copy()
+    K[:2] *= 0.25
+    m = mesh.make_bumpy_sphere(radius=50.0, subdivisions=3)
+    return m, K
+
+
+def test_pose_renderer_api(setup):
+    m, K = setup
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    pose1, pose2, _ = reference_demo_poses()
+    dep = np.asarray(r.render_depth(np.stack([pose1, pose2])))
+    assert dep.shape == (2, H, W) and dep.dtype == np.uint16
+    mask = np.asarray(r.render_mask(np.stack([pose1, pose2])))
+    assert set(np.unique(mask)) <= {0, 255}
+    np.testing.assert_array_equal(mask > 0, dep > 0)
+    d2, m2 = r.render_depth_mask(pose1)  # single-pose input
+    assert np.asarray(d2).shape == (1, H, W)
+
+    # down_sample halves the raster while keeping the same NDC projection
+    half = np.asarray(r.render_depth(pose1, down_sample=2))
+    assert half.shape == (1, H // 2, W // 2)
+    bbox_full = prt.get_bbox(dep[0])
+    bbox_half = prt.get_bbox(half[0])
+    assert abs(bbox_full[0] / 2 - bbox_half[0]) <= 1.5
+    assert abs(bbox_full[2] / 2 - bbox_half[2]) <= 2
+
+    rgb = prt.PoseRenderer.view_dep(dep[0])
+    assert rgb.shape == (H, W, 3) and rgb.dtype == np.uint8
+
+
+def test_refiner_end_to_end(setup):
+    m, K = setup
+    pose1, pose2, ang = reference_demo_poses()
+
+    # observed scene = render at the true (perturbed) pose
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    scene_depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+
+    refiner = prt.PoseRefiner(m, K=K, width=W, height=H, max_points=8192, use_pallas=False)
+    refiner.set_scene_depth(scene_depth)
+
+    refined, results = refiner.refine(pose1)
+    # refined pose should now match pose2 (the ground truth of the scene)
+    R_err = np.asarray(refined)[:3, :3] @ pose2[:3, :3].T
+    ang_err = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+    assert ang_err < 4.0, f"refined rotation off by {ang_err} deg"
+    t_err = np.abs(np.asarray(refined)[:3, 3] - pose2[:3, 3]).max()
+    assert t_err < 6.0, f"translation off by {t_err} mm"
+    assert float(results.fitness) > 0.7
+
+
+def test_refiner_batch_ranking(setup):
+    m, K = setup
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    scene_depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+
+    refiner = prt.PoseRefiner(m, K=K, width=W, height=H, max_points=8192, use_pallas=False)
+    refiner.set_scene_depth(scene_depth)
+
+    # batch: one good hypothesis (pose1, close to truth) and one garbage
+    garbage = pose1.copy()
+    garbage[:3, 3] += np.array([500.0, 0, 2000.0], np.float32)
+    batch = np.stack([garbage, pose1])
+    refined, results = refiner.refine(batch)
+    assert refined.shape == (2, 4, 4)
+    order = prt.PoseRefiner.rank(results)
+    assert order[0] == 1  # the good hypothesis wins
+    assert float(results.fitness[1]) > float(results.fitness[0])
+
+
+def test_refiner_nn_scene(setup):
+    m, K = setup
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    scene_depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+
+    refiner = prt.PoseRefiner(
+        m, K=K, width=W, height=H, max_points=8192, scene="nn_bruteforce", use_pallas=False
+    )
+    refiner.set_scene_depth(scene_depth)
+    refined, results = refiner.refine(pose1)
+    assert float(results.fitness) > 0.7
