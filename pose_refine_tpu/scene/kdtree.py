@@ -62,11 +62,32 @@ class KDTree:
         return int((self.bounds[leaf, 1] - self.bounds[leaf, 0]).max())
 
 
-def build_kdtree(points, normals, leaf_size: int = 10) -> KDTree:
+def build_kdtree(points, normals, leaf_size: int = 10, backend: str = "auto") -> KDTree:
+    """Build a kd-tree. backend: 'auto' (native C++ when compiled, else
+    numpy), 'native', or 'numpy'."""
     points = np.ascontiguousarray(points, np.float32)
     normals = np.ascontiguousarray(normals, np.float32)
     n = len(points)
     assert n > 0 and len(normals) == n, "empty cloud or point/normal mismatch"
+
+    if backend in ("auto", "native"):
+        from pose_refine_tpu import native
+
+        out = native.build_kdtree_native(points, leaf_size)
+        if out is not None:
+            order, parent, child, split_dim, split_v, bbox, bounds, _m = out
+            return KDTree(
+                points=points[order],
+                normals=normals[order],
+                parent=parent,
+                child=child,
+                split_dim=split_dim,
+                split_v=split_v,
+                bbox=bbox,
+                bounds=bounds,
+            )
+        if backend == "native":
+            raise RuntimeError("native kd-tree builder unavailable (no g++?)")
 
     # worst case node count: every split peels off >= 1 point per side
     cap = max(2 * n, 16)

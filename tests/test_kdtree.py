@@ -104,3 +104,34 @@ def test_single_leaf_tree(rng):
     _, want_d = brute_nn_numpy(q, pts)
     got_d = ((np.asarray(dst) - q) ** 2).sum(-1)
     np.testing.assert_allclose(got_d, want_d, rtol=1e-5)
+
+
+def test_native_builder_matches_numpy(rng):
+    from pose_refine_tpu import native
+
+    if not native.native_available():
+        pytest.skip("g++ unavailable")
+    pts, nrm = random_cloud(rng, 4000)
+    t_np = build_kdtree(pts, nrm, leaf_size=10, backend="numpy")
+    t_cc = build_kdtree(pts, nrm, leaf_size=10, backend="native")
+    np.testing.assert_array_equal(t_cc.points, t_np.points)
+    np.testing.assert_array_equal(t_cc.normals, t_np.normals)
+    np.testing.assert_array_equal(t_cc.parent, t_np.parent)
+    np.testing.assert_array_equal(t_cc.child, t_np.child)
+    np.testing.assert_array_equal(t_cc.split_dim, t_np.split_dim)
+    np.testing.assert_array_equal(t_cc.split_v, t_np.split_v)
+    np.testing.assert_array_equal(t_cc.bbox, t_np.bbox)
+    np.testing.assert_array_equal(t_cc.bounds, t_np.bounds)
+
+
+def test_native_builder_duplicates(rng):
+    from pose_refine_tpu import native
+
+    if not native.native_available():
+        pytest.skip("g++ unavailable")
+    pts = np.tile(np.array([[0.1, 0.2, 0.5]], np.float32), (64, 1))
+    nrm = np.tile(np.array([[0, 0, -1.0]], np.float32), (64, 1))
+    t_np = build_kdtree(pts, nrm, backend="numpy")
+    t_cc = build_kdtree(pts, nrm, backend="native")
+    np.testing.assert_array_equal(t_cc.bounds, t_np.bounds)
+    np.testing.assert_array_equal(t_cc.child, t_np.child)
