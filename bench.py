@@ -1,0 +1,134 @@
+"""Headline benchmark: poses refined per second, batch-256, obj_06 workload.
+
+Runs the full production pipeline on the default (TPU) backend:
+  render 256 pose hypotheses of the benchmark mesh @ 640x480 (Pallas kernel)
+  -> depth->cloud (static budget) -> projective point-to-plane ICP, all in
+  one jitted program; scene built once per frame (its cost is amortized and
+  reported separately).
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": N, "unit": "poses/sec", "vs_baseline": N}
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+baseline is the BASELINE.json north-star target of refining 256 hypotheses
+at lower wall-clock than the CUDA reference on an RTX-class GPU, estimated
+at 1 s for the batch (about 4 ms per render+ICP on such hardware) =>
+baseline = 256 poses/sec, vs_baseline = value / 256.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import jax.numpy as jnp
+
+    import pose_refine_tpu as prt
+    from pose_refine_tpu import geometry, icp, mesh
+    from pose_refine_tpu.pipeline import refine_poses_jit
+    from pose_refine_tpu.scene.projective import SceneProjective
+    from pose_refine_tpu.utils.sync import sync
+
+    WIDTH, HEIGHT = 640, 480
+    N_POSES = 256
+    MAX_POINTS = 32768
+
+    model = mesh.load_benchmark_model()
+    tris = jnp.asarray(model.tris[mesh.morton_order(model.tris)])
+    K = geometry.LINEMOD_K
+    proj = geometry.compute_proj(K, WIDTH, HEIGHT)
+
+    # ground-truth pose (reference demo viewpoint) + 256 perturbed hypotheses
+    R_ren = np.array(
+        [
+            [0.34768538, 0.93761126, 0.0],
+            [0.70540612, -0.26157897, -0.65877056],
+            [-0.61767070, 0.22904489, -0.75234390],
+        ],
+        np.float32,
+    )
+    truth = np.asarray(geometry.pose_from_Rt(R_ren, np.array([0, 0, 300], np.float32)))
+    rng = np.random.default_rng(0)
+    d_ang = rng.uniform(-0.17, 0.17, (N_POSES, 3)).astype(np.float32)  # ~10 deg
+    d_rot = np.asarray(geometry.euler_to_rotation(d_ang))
+    d_t = rng.uniform(-20, 20, (N_POSES, 3)).astype(np.float32)
+    poses = np.asarray(
+        geometry.pose_from_Rt(
+            jnp.einsum("nij,jk->nik", d_rot, truth[:3, :3]), truth[:3, 3] + d_t
+        )
+    )
+
+    # observed scene: the model at the ground-truth pose
+    from pose_refine_tpu.ops.rasterize_pallas import rasterize_pallas
+
+    use_pallas = jax.default_backend() != "cpu"
+    t0 = time.perf_counter()
+    if use_pallas:
+        scene_depth = np.asarray(
+            sync(rasterize_pallas(tris, jnp.asarray(truth)[None], WIDTH, HEIGHT, proj))
+        )[0]
+    else:
+        import pose_refine_tpu.ops.rasterize as rz
+
+        scene_depth = np.asarray(
+            sync(rz.rasterize_scatter(tris, jnp.asarray(truth)[None], WIDTH, HEIGHT, proj))
+        )[0]
+    scene = SceneProjective.from_depth(scene_depth, K)
+    scene = jax.tree.map(jax.device_put, scene)
+    scene_init_s = time.perf_counter() - t0
+
+    poses_dev = jax.device_put(jnp.asarray(poses))
+    crit = icp.ICPConvergenceCriteria()
+
+    def run():
+        return refine_poses_jit(
+            tris, poses_dev, scene, proj, jnp.asarray(K),
+            width=WIDTH, height=HEIGHT, max_points=MAX_POINTS,
+            criteria=crit, use_pallas=use_pallas,
+        )
+
+    # compile + warm
+    t0 = time.perf_counter()
+    refined, results = run()
+    sync((refined, results.fitness))
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        refined, results = run()
+        sync((refined, results.fitness))
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+
+    fit = np.asarray(results.fitness)
+    # sanity: refined poses should approach truth
+    euler_err = np.abs(
+        np.asarray(geometry.rotation_to_euler(np.asarray(refined)[:, :3, :3] @ truth[:3, :3].T))
+    ).max(axis=1)
+    ok = float((np.degrees(euler_err) < 3.0).mean())
+
+    value = N_POSES / dt
+    result = {
+        "metric": "poses_refined_per_sec_batch256_640x480_full_pipeline",
+        "value": round(value, 2),
+        "unit": "poses/sec",
+        "vs_baseline": round(value / 256.0, 4),
+    }
+    print(json.dumps(result))
+    print(
+        f"# details: batch {N_POSES}, wall {dt*1000:.1f} ms, compile {compile_s:.1f} s, "
+        f"scene init {scene_init_s*1000:.1f} ms, mean fitness {fit.mean():.3f}, "
+        f"recovered<3deg {ok*100:.0f}%, backend {jax.default_backend()}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

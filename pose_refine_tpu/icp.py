@@ -120,10 +120,12 @@ def icp_point_to_plane(
     n_total = jnp.sum(valid).astype(jnp.float32) if n_points is None else jnp.asarray(n_points, jnp.float32)
     max_iter = criteria.max_iteration
 
-    def cond(s: _State):
-        return (s.it <= max_iter) & ~s.done
-
-    def body(s: _State) -> _State:
+    # A fori_loop with a static trip count and a `done` latch, rather than a
+    # while_loop with early exit: semantics are identical (state freezes once
+    # done), but the whole refinement stays ONE device program. (On tunneled
+    # TPU runtimes each while_loop iteration costs a host round-trip; a
+    # converged lane also wastes no work under vmap either way.)
+    def body(it, s: _State) -> _State:
         AtA, Atb, count, mse_sum = _normal_equations(s.cloud, valid, query_fn)
 
         empty = count == 0
@@ -131,25 +133,26 @@ def icp_point_to_plane(
         new_rmse = jnp.where(
             empty, s.rmse, jnp.sqrt(mse_sum / jnp.maximum(count, 1.0))
         )
-        scoring_only = s.it == max_iter
+        scoring_only = it == max_iter
         converged = (
             (jnp.abs(new_fit - s.fitness) < criteria.relative_fitness)
             & (jnp.abs(new_rmse - s.rmse) < criteria.relative_rmse)
         )
-        done = empty | scoring_only | converged
+        done = s.done | empty | scoring_only | converged
 
         x = _solve_damped(AtA, Atb)
         upd = geometry.twist_to_mat4(x)
         new_cloud = geometry.transform_points(upd, s.cloud)
         new_T = upd @ s.T
 
-        keep = done  # no solve/update on the terminating pass (icp.cpp:162-166)
+        # no solve/update on the terminating pass (icp.cpp:162-166); once
+        # done, freeze everything including the scores
         return _State(
-            cloud=jnp.where(keep, s.cloud, new_cloud),
-            T=jnp.where(keep, s.T, new_T),
-            fitness=new_fit,
-            rmse=new_rmse,
-            it=s.it + 1,
+            cloud=jnp.where(done, s.cloud, new_cloud),
+            T=jnp.where(done, s.T, new_T),
+            fitness=jnp.where(s.done, s.fitness, new_fit),
+            rmse=jnp.where(s.done, s.rmse, new_rmse),
+            it=it + 1,
             done=done,
         )
 
@@ -161,7 +164,7 @@ def icp_point_to_plane(
         it=jnp.int32(0),
         done=jnp.asarray(False),
     )
-    final = jax.lax.while_loop(cond, body, init)
+    final = jax.lax.fori_loop(0, max_iter + 1, body, init)
     return (
         RegistrationResult(final.T, final.fitness, final.rmse),
         final.cloud,

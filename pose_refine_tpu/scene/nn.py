@@ -38,6 +38,7 @@ class SceneNN:
 
     points: jnp.ndarray      # (P, 3) float32, kd-reordered
     normals: jnp.ndarray     # (P, 3) float32
+    table: jnp.ndarray       # (P, 8) float32 [pcd xyz, normal xyz, 0, 0] - one-gather result lookup
     parent: jnp.ndarray      # (M,) int32
     child: jnp.ndarray       # (M, 2) int32
     split_dim: jnp.ndarray   # (M,) int32
@@ -63,9 +64,15 @@ class SceneNN:
         # descend+backtrack walk of a balanced tree, clamped generously
         depth_bound = 2 * int(np.ceil(np.log2(max(tree.n_nodes, 2)))) + 2
         max_steps = min(8 * tree.n_nodes, 64 * depth_bound)
+        pts = jnp.asarray(tree.points)
+        nrm = jnp.asarray(tree.normals)
+        packed = jnp.concatenate(
+            [pts, nrm, jnp.zeros((pts.shape[0], 2), jnp.float32)], axis=1
+        )
         return cls(
-            points=jnp.asarray(tree.points),
-            normals=jnp.asarray(tree.normals),
+            points=pts,
+            normals=nrm,
+            table=packed,
             parent=jnp.asarray(tree.parent),
             child=jnp.asarray(tree.child),
             split_dim=jnp.asarray(tree.split_dim),
@@ -103,7 +110,8 @@ class SceneNN:
         else:
             idx, dist_sq = _nn_kdtree(src, self)
         valid = dist_sq < self.max_dist_diff * self.max_dist_diff
-        return self.points[idx], self.normals[idx], valid
+        rows = jnp.take(self.table, idx, axis=0)  # single packed gather
+        return rows[..., 0:3], rows[..., 3:6], valid
 
 
 def _nn_kdtree(src, scene: SceneNN):
