@@ -69,3 +69,50 @@ def depth_to_cloud(depth, K, max_points: int, stride: int = 1, tl_x: int = 0, tl
     """depth2cloud equivalent (icp.h:102-110) with a static point budget."""
     pts, mask = depth_image_to_points(depth, K, stride=stride, tl_x=tl_x, tl_y=tl_y)
     return compact_points(pts, mask, max_points)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "stride"))
+def window_cloud(depth, K, window: int = 256, stride: int = 2):
+    """Scatter-free cloud extraction: crop a static window around the object
+    and stride it to a fixed point budget.
+
+    XLA scatter (what compact_points needs) is very slow on TPU; this is the
+    TPU-native replacement for stream compaction in the render->ICP pipeline:
+    locate the rendered object's bbox with cheap reductions, dynamic-slice a
+    (window, window) region centered on it, subsample by ``stride``. Yields
+    exactly (window/stride)^2 points + validity mask - the reference's ROI +
+    down-sample concepts (renderer.h:199-202, pose_renderer.h:25-27) fused
+    into the cloud lift.
+
+    Returns (points ((window/stride)^2, 3) float32 m, valid mask, n_valid).
+    """
+    depth = jnp.asarray(depth)
+    h, w = depth.shape
+    K = jnp.asarray(K, jnp.float32)
+    mask = depth > 0
+
+    rows = jnp.any(mask, axis=1)
+    cols = jnp.any(mask, axis=0)
+    ridx = jnp.arange(h)
+    cidx = jnp.arange(w)
+    r0 = jnp.min(jnp.where(rows, ridx, h))
+    r1 = jnp.max(jnp.where(rows, ridx, -1))
+    c0 = jnp.min(jnp.where(cols, cidx, w))
+    c1 = jnp.max(jnp.where(cols, cidx, -1))
+    cy = jnp.clip((r0 + r1) // 2 - window // 2, 0, max(h - window, 0))
+    cx = jnp.clip((c0 + c1) // 2 - window // 2, 0, max(w - window, 0))
+
+    sub = jax.lax.dynamic_slice(depth, (cy, cx), (min(window, h), min(window, w)))
+    sub = sub[::stride, ::stride]
+    sh, sw = sub.shape
+    u = (cx + jnp.arange(sw) * stride).astype(jnp.float32)[None, :]
+    v = (cy + jnp.arange(sh) * stride).astype(jnp.float32)[:, None]
+    z = sub.astype(jnp.float32) / 1000.0
+    x = (u - K[0, 2]) / K[0, 0] * z
+    y = (v - K[1, 2]) / K[1, 1] * z
+    valid = (sub > 0).reshape(-1)
+    pts = jnp.stack(
+        [jnp.where(sub > 0, x, 0.0), jnp.where(sub > 0, y, 0.0), jnp.where(sub > 0, z, 0.0)],
+        axis=-1,
+    ).reshape(-1, 3)
+    return pts, valid, jnp.sum(valid)

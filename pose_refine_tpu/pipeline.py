@@ -33,7 +33,10 @@ from pose_refine_tpu.scene.projective import SceneProjective
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "max_points", "criteria", "use_pallas"),
+    static_argnames=(
+        "width", "height", "max_points", "criteria", "use_pallas",
+        "lift", "window", "stride",
+    ),
 )
 def refine_poses_jit(
     tris,
@@ -46,6 +49,9 @@ def refine_poses_jit(
     max_points: int,
     criteria: icp.ICPConvergenceCriteria,
     use_pallas: bool = True,
+    lift: str = "window",
+    window: int = 256,
+    stride: int = 2,
 ):
     """The fused program: render N poses, lift to clouds, run batched ICP.
 
@@ -60,11 +66,19 @@ def refine_poses_jit(
     else:
         depth = rz.rasterize_scatter(tris, init_poses, width, height, proj)
 
-    def lift(d):
-        pts, mask = depth_image_to_points(d, K)
-        return compact_points(pts, mask, max_points)
+    if lift == "window":
+        # scatter-free: per-pose object-centered crop + stride
+        # (TPU scatter makes exclusive-scan compaction ~10x the ICP cost)
+        from pose_refine_tpu.ops.depth_to_cloud import window_cloud
 
-    clouds, valids, _n = jax.vmap(lift)(depth)
+        def one_lift(d):
+            return window_cloud(d, K, window=window, stride=stride)
+    else:
+        def one_lift(d):
+            pts, mask = depth_image_to_points(d, K)
+            return compact_points(pts, mask, max_points)
+
+    clouds, valids, _n = jax.vmap(one_lift)(depth)
 
     def one(cloud, valid):
         return icp.icp_point_to_plane(cloud, valid, scene.query, criteria)
@@ -98,6 +112,9 @@ class PoseRefiner:
         max_points: int = 32768,
         max_dist_diff: float = 0.1,
         use_pallas: Optional[bool] = None,
+        lift: str = "window",
+        window: int = 256,
+        stride: int = 2,
     ):
         self.model = Model.load(model) if isinstance(model, str) else model
         self.tris = jnp.asarray(self.model.tris[morton_order(self.model.tris)])
@@ -111,6 +128,9 @@ class PoseRefiner:
         if use_pallas is None:
             use_pallas = jax.default_backend() != "cpu"
         self.use_pallas = bool(use_pallas)
+        self.lift = lift
+        self.window = int(min(window, width, height))
+        self.stride = int(stride)
 
     def set_scene_depth(self, scene_depth):
         """Build the association structure from an (H, W) mm depth image.
@@ -161,6 +181,9 @@ class PoseRefiner:
             self.max_points,
             criteria,
             self.use_pallas,
+            lift=self.lift,
+            window=self.window,
+            stride=self.stride,
         )
         if squeeze:
             refined = refined[0]

@@ -55,3 +55,36 @@ def test_stride(rng):
     # reference's stride path is buggy and never used - SURVEY.md quirks)
     full, _ = d2c.depth_image_to_points(depth, K)
     np.testing.assert_allclose(np.asarray(pts), np.asarray(full)[::2, ::2], rtol=1e-6)
+
+
+def test_window_cloud(rng):
+    from pose_refine_tpu.ops.depth_to_cloud import window_cloud
+
+    K = geometry.LINEMOD_K
+    depth = np.zeros((120, 160), np.int32)
+    depth[40:80, 60:120] = rng.integers(250, 400, size=(40, 60))
+    pts, valid, n = window_cloud(depth, K, window=96, stride=2)
+    assert pts.shape == (48 * 48, 3) and valid.shape == (48 * 48,)
+    # every valid point equals the full dep2pcd at its (strided) pixel
+    pv = np.asarray(pts)[np.asarray(valid)]
+    assert int(n) == np.asarray(valid).sum()
+    full, _ = d2c.depth_image_to_points(depth, K)
+    full = np.asarray(full)
+    # reconstruct pixel coords from projection and check round-trip
+    xyd = np.asarray(geometry.pcd2dep(pv, K))
+    for i in range(0, len(pv), 50):
+        x, y = xyd[i, 0], xyd[i, 1]
+        np.testing.assert_allclose(pv[i], full[y, x], atol=1e-6)
+    # window centered on the object: all object pixels inside (object is
+    # 40x60 px, window 96) at stride 2 -> about a quarter of them sampled
+    expect = (depth[::1, ::1] > 0).sum() / 4
+    assert abs(int(n) - expect) < expect * 0.3
+
+
+def test_window_cloud_empty_depth():
+    from pose_refine_tpu.ops.depth_to_cloud import window_cloud
+
+    K = geometry.LINEMOD_K
+    depth = np.zeros((120, 160), np.int32)
+    pts, valid, n = window_cloud(depth, K, window=64, stride=1)
+    assert int(n) == 0 and not np.asarray(valid).any()
