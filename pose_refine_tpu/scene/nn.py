@@ -39,6 +39,7 @@ class SceneNN:
     points: jnp.ndarray      # (P, 3) float32, kd-reordered
     normals: jnp.ndarray     # (P, 3) float32
     table: jnp.ndarray       # (P, 8) float32 [pcd xyz, normal xyz, 0, 0] - one-gather result lookup
+    flash_table: jnp.ndarray  # (8, P_pad) field-major [x,y,z,|s|^2] for the flash-NN kernel
     parent: jnp.ndarray      # (M,) int32
     child: jnp.ndarray       # (M, 2) int32
     split_dim: jnp.ndarray   # (M,) int32
@@ -64,6 +65,8 @@ class SceneNN:
         # descend+backtrack walk of a balanced tree, clamped generously
         depth_bound = 2 * int(np.ceil(np.log2(max(tree.n_nodes, 2)))) + 2
         max_steps = min(8 * tree.n_nodes, 64 * depth_bound)
+        from pose_refine_tpu.scene.nn_pallas import pack_scene
+
         pts = jnp.asarray(tree.points)
         nrm = jnp.asarray(tree.normals)
         packed = jnp.concatenate(
@@ -73,6 +76,7 @@ class SceneNN:
             points=pts,
             normals=nrm,
             table=packed,
+            flash_table=pack_scene(pts),
             parent=jnp.asarray(tree.parent),
             child=jnp.asarray(tree.child),
             split_dim=jnp.asarray(tree.split_dim),
@@ -106,7 +110,18 @@ class SceneNN:
 
     def query(self, src):
         if self.backend == "bruteforce":
-            idx, dist_sq = _nn_bruteforce(src, self.points)
+            if jax.default_backend() == "cpu":
+                idx, dist_sq = _nn_bruteforce(src, self.points)
+            else:
+                from pose_refine_tpu.scene.nn_pallas import nn_flash_packed
+
+                idx, dist_sq = nn_flash_packed(src, self.flash_table)
+        elif self.backend == "flash":
+            from pose_refine_tpu.scene.nn_pallas import nn_flash_packed
+
+            idx, dist_sq = nn_flash_packed(
+                src, self.flash_table, interpret=jax.default_backend() == "cpu"
+            )
         else:
             idx, dist_sq = _nn_kdtree(src, self)
         valid = dist_sq < self.max_dist_diff * self.max_dist_diff

@@ -135,3 +135,37 @@ def test_native_builder_duplicates(rng):
     t_cc = build_kdtree(pts, nrm, backend="native")
     np.testing.assert_array_equal(t_cc.bounds, t_np.bounds)
     np.testing.assert_array_equal(t_cc.child, t_np.child)
+
+
+def test_flash_nn_matches_bruteforce(rng):
+    from pose_refine_tpu.scene.nn_pallas import nn_flash
+    from pose_refine_tpu.scene.nn import _nn_bruteforce
+    import jax.numpy as jnp
+
+    pts, _ = random_cloud(rng, 2048 + 77)  # force scene padding
+    q = rng.uniform(-0.3, 0.3, size=(1024 + 100, 3)).astype(np.float32)  # force query padding
+    q[:, 2] += 0.5
+
+    i1, d1 = nn_flash(q, jnp.asarray(pts), interpret=True)
+    i2, d2 = _nn_bruteforce(jnp.asarray(q), jnp.asarray(pts))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-4, atol=1e-6)
+    # indices agree, or the two candidates are distance-ties within fp noise
+    want_i, want_d = brute_nn_numpy(q, pts)
+    i1 = np.asarray(i1)
+    mism = i1 != want_i
+    if mism.any():
+        alt = ((q[mism] - pts[i1[mism]]) ** 2).sum(-1)
+        np.testing.assert_allclose(alt, want_d[mism], rtol=1e-4, atol=1e-6)
+
+
+def test_flash_backend_in_scene(rng):
+    pts, nrm = random_cloud(rng, 1500)
+    q = rng.uniform(-0.2, 0.2, size=(300, 3)).astype(np.float32)
+    q[:, 2] += 0.5
+    fl = SceneNN.from_cloud(pts, nrm, max_dist_diff=10.0, backend="flash")
+    kd = SceneNN.from_cloud(pts, nrm, max_dist_diff=10.0, backend="kdtree")
+    d1, n1, v1 = fl.query(q)
+    d2, n2, v2 = kd.query(q)
+    g1 = ((np.asarray(d1) - q) ** 2).sum(-1)
+    g2 = ((np.asarray(d2) - q) ** 2).sum(-1)
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-6)
