@@ -95,12 +95,41 @@ def _normal_equations(cloud, valid, query_fn):
     return AtA, Atb, count, mse_sum
 
 
+def _normal_equations_packed(cloud, valid, query_fn):
+    """The reference's "tight" formulation: each point maps to a 29-float
+    vector (21 upper-triangular AtA entries + 6 Atb + mse + count) summed in
+    one reduction (thrust__pcd2Ab, icp.h:125-209). Numerically equivalent to
+    _normal_equations; kept as a selectable variant and cross-checked in
+    tests (the reference similarly keeps its global-memory variant around
+    for comparison, icp.cu:8-9)."""
+    dst, nrm, q_valid = query_fn(cloud)
+    v = (q_valid & valid).astype(cloud.dtype)
+    diff = dst - cloud
+    b = jnp.sum(diff * nrm, axis=-1)
+    arow = jnp.concatenate([jnp.cross(cloud, nrm), nrm], axis=-1) * v[:, None]
+    iu, ju = jnp.triu_indices(6)
+    packed = jnp.concatenate(
+        [
+            arow[:, iu] * arow[:, ju],                    # 21 upper-tri AtA
+            arow * (b * v)[:, None],                      # 6 Atb
+            (jnp.sum(diff * diff, axis=-1) * v)[:, None],  # mse (pt-to-pt)
+            v[:, None],                                   # count
+        ],
+        axis=1,
+    )
+    s = jnp.sum(packed, axis=0)
+    AtA = jnp.zeros((6, 6), cloud.dtype).at[iu, ju].set(s[:21])
+    AtA = AtA + jnp.triu(AtA, 1).T
+    return AtA, s[21:27], s[28], s[27]
+
+
 def icp_point_to_plane(
     cloud,
     valid,
     query_fn: Callable,
     criteria: ICPConvergenceCriteria = ICPConvergenceCriteria(),
     n_points=None,
+    reduction: str = "matmul",
 ):
     """Refine one cloud against a scene.
 
@@ -111,6 +140,8 @@ def icp_point_to_plane(
       criteria: convergence constants.
       n_points: divisor for fitness; defaults to sum(valid) (the reference
                 divides by its compacted cloud size, icp.cpp:158).
+      reduction: 'matmul' (MXU normal equations - the TPU-native default) or
+                 'packed' (the reference's 29-float transform_reduce shape).
 
     Returns:
       (RegistrationResult, transformed cloud (P, 3)).
@@ -125,8 +156,12 @@ def icp_point_to_plane(
     # done), but the whole refinement stays ONE device program. (On tunneled
     # TPU runtimes each while_loop iteration costs a host round-trip; a
     # converged lane also wastes no work under vmap either way.)
+    reduce_fn = (
+        _normal_equations_packed if reduction == "packed" else _normal_equations
+    )
+
     def body(it, s: _State) -> _State:
-        AtA, Atb, count, mse_sum = _normal_equations(s.cloud, valid, query_fn)
+        AtA, Atb, count, mse_sum = reduce_fn(s.cloud, valid, query_fn)
 
         empty = count == 0
         new_fit = jnp.where(empty, s.fitness, count / jnp.maximum(n_total, 1.0))

@@ -200,3 +200,43 @@ def test_golden_recovery_nn_scene():
         err_deg = np.abs(euler - ang) / np.pi * 180.0
         assert (err_deg < 1.5).all(), f"{backend}: angle error {err_deg} deg"
         assert float(result.fitness) > 0.7, backend
+
+
+def test_packed_reduction_matches_matmul():
+    """The reference's tight 29-float reduction (icp.h:125-209) vs the MXU
+    normal-equation formulation: same AtA/Atb/count/mse."""
+    import jax.numpy as jnp
+    from pose_refine_tpu.icp import _normal_equations, _normal_equations_packed
+
+    rng = np.random.default_rng(11)
+    cloud = jnp.asarray(rng.normal(size=(777, 3)).astype(np.float32) * 0.1)
+    nrm = rng.normal(size=(777, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    dst = np.asarray(cloud) + rng.normal(size=(777, 3)).astype(np.float32) * 0.01
+    q_ok = rng.random(777) > 0.3
+    valid = jnp.asarray(rng.random(777) > 0.2)
+
+    def query(src):
+        return jnp.asarray(dst), jnp.asarray(nrm), jnp.asarray(q_ok)
+
+    a1, b1, c1, m1 = _normal_equations(cloud, valid, query)
+    a2, b2, c2, m2 = _normal_equations_packed(cloud, valid, query)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=1e-5, atol=1e-6)
+    assert float(c1) == float(c2)
+    np.testing.assert_allclose(float(m1), float(m2), rtol=1e-5)
+
+
+def test_icp_packed_variant_runs():
+    m = mesh.make_bumpy_sphere(radius=40.0, subdivisions=3)
+    K = small_K()
+    proj = geometry.compute_proj(K, W, H)
+    pose1, pose2, _ = reference_demo_poses()
+    depth = np.asarray(R.rasterize_dense(m.tris, np.stack([pose1, pose2]), W, H, proj))
+    cloud, valid, _ = depth_to_cloud(depth[0], K, max_points=8192)
+    scene = SceneProjective.from_depth(depth[1], K)
+    r1, _ = icp_mod.icp_point_to_plane(cloud, valid, scene.query, reduction="packed")
+    r2, _ = icp_mod.icp_point_to_plane(cloud, valid, scene.query, reduction="matmul")
+    np.testing.assert_allclose(
+        np.asarray(r1.transformation), np.asarray(r2.transformation), atol=1e-4
+    )

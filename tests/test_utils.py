@@ -1,0 +1,79 @@
+import os
+
+import numpy as np
+
+import pose_refine_tpu as prt
+from pose_refine_tpu import geometry
+from pose_refine_tpu.scene.kdtree import build_kdtree
+from pose_refine_tpu.scene.nn import SceneNN
+from pose_refine_tpu.scene.projective import SceneProjective
+from pose_refine_tpu.utils import serialization
+
+
+def _cloud(rng, n=500):
+    pts = rng.uniform(-0.2, 0.2, (n, 3)).astype(np.float32)
+    pts[:, 2] += 0.5
+    nrm = rng.normal(size=(n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    return pts, nrm
+
+
+def test_scene_nn_roundtrip(tmp_path, rng):
+    pts, nrm = _cloud(rng)
+    scene = SceneNN.from_cloud(pts, nrm, max_dist_diff=0.05)
+    p = str(tmp_path / "scene.npz")
+    serialization.save(p, scene)
+    back = serialization.load(p)
+    assert isinstance(back, SceneNN)
+    assert back.backend == scene.backend and back.leaf_cap == scene.leaf_cap
+    q = rng.uniform(-0.1, 0.1, (50, 3)).astype(np.float32)
+    q[:, 2] += 0.5
+    d1, n1, v1 = scene.query(q)
+    d2, n2, v2 = back.query(q)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_scene_projective_roundtrip(tmp_path, rng):
+    K = geometry.LINEMOD_K
+    depth = np.zeros((60, 80), np.int32)
+    depth[20:40, 30:60] = rng.integers(250, 400, (20, 30))
+    scene = SceneProjective.from_depth(depth, K)
+    p = str(tmp_path / "proj.npz")
+    serialization.save(p, scene)
+    back = serialization.load(p)
+    assert back.height == 60 and back.width == 80
+    np.testing.assert_array_equal(np.asarray(back.table), np.asarray(scene.table))
+
+
+def test_kdtree_roundtrip(tmp_path, rng):
+    pts, nrm = _cloud(rng)
+    tree = build_kdtree(pts, nrm)
+    p = str(tmp_path / "tree.npz")
+    serialization.save(p, tree)
+    back = serialization.load(p)
+    np.testing.assert_array_equal(back.points, tree.points)
+    np.testing.assert_array_equal(back.child, tree.child)
+
+
+def test_result_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    r = prt.RegistrationResult(
+        transformation=jnp.eye(4), fitness=jnp.float32(0.9), inlier_rmse=jnp.float32(0.001)
+    )
+    p = str(tmp_path / "res.npz")
+    serialization.save(p, r)
+    back = serialization.load(p)
+    np.testing.assert_array_equal(np.asarray(back.transformation), np.eye(4))
+    assert abs(float(back.fitness) - 0.9) < 1e-7
+
+
+def test_step_timer():
+    from pose_refine_tpu.utils.profiling import StepTimer
+
+    t = StepTimer()
+    for _ in range(3):
+        with t:
+            pass
+    assert t.count == 3 and t.mean >= 0 and t.worst >= t.mean
