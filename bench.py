@@ -37,7 +37,7 @@ def main():
 
     WIDTH, HEIGHT = 640, 480
     N_POSES = 256
-    MAX_POINTS = 32768
+    MAX_POINTS = 8192  # top_k-compacted from the 256x256/stride-2 window
 
     model = mesh.load_benchmark_model()
     tris = jnp.asarray(model.tris[mesh.morton_order(model.tris)])
@@ -79,19 +79,17 @@ def main():
         scene_depth = np.asarray(
             sync(rz.rasterize_scatter(tris, jnp.asarray(truth)[None], WIDTH, HEIGHT, proj))
         )[0]
-    scene = SceneProjective.from_depth(scene_depth, K)
-    scene = jax.tree.map(jax.device_put, scene)
+    refiner = prt.PoseRefiner(
+        model, K=K, width=WIDTH, height=HEIGHT, max_points=MAX_POINTS,
+        use_pallas=use_pallas,
+    )
+    refiner.set_scene_depth(scene_depth)
     scene_init_s = time.perf_counter() - t0
 
     poses_dev = jax.device_put(jnp.asarray(poses))
-    crit = icp.ICPConvergenceCriteria()
 
     def run():
-        return refine_poses_jit(
-            tris, poses_dev, scene, proj, jnp.asarray(K),
-            width=WIDTH, height=HEIGHT, max_points=MAX_POINTS,
-            criteria=crit, use_pallas=use_pallas,
-        )
+        return refiner.refine(poses_dev)
 
     # compile + warm
     t0 = time.perf_counter()

@@ -71,8 +71,24 @@ def depth_to_cloud(depth, K, max_points: int, stride: int = 1, tl_x: int = 0, tl
     return compact_points(pts, mask, max_points)
 
 
-@functools.partial(jax.jit, static_argnames=("window", "stride"))
-def window_cloud(depth, K, window: int = 256, stride: int = 2):
+@functools.partial(jax.jit, static_argnames=("k",))
+def compact_topk(pts, valid, k: int):
+    """Scatter-free compaction: keep the first k valid points (original
+    order), via top_k over a rank key + one gather. top_k is well-optimized
+    on TPU (MoE routing); scatter is not - this replaces compact_points on
+    hot paths. Points beyond k are dropped, like compact_points."""
+    p = pts.shape[0]
+    r = jnp.arange(p, dtype=jnp.int32)
+    key = jnp.where(valid, -r, -(p + r))  # valid first, each in index order
+    _, idx = jax.lax.top_k(key, k)
+    out = jnp.take(pts, idx, axis=0)
+    v = jnp.take(valid, idx, axis=0)
+    return jnp.where(v[:, None], out, 0.0), v, jnp.sum(valid)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "stride", "tl_x", "tl_y"))
+def window_cloud(depth, K, window: int = 256, stride: int = 2,
+                 tl_x: int = 0, tl_y: int = 0):
     """Scatter-free cloud extraction: crop a static window around the object
     and stride it to a fixed point budget.
 
@@ -105,8 +121,9 @@ def window_cloud(depth, K, window: int = 256, stride: int = 2):
     sub = jax.lax.dynamic_slice(depth, (cy, cx), (min(window, h), min(window, w)))
     sub = sub[::stride, ::stride]
     sh, sw = sub.shape
-    u = (cx + jnp.arange(sw) * stride).astype(jnp.float32)[None, :]
-    v = (cy + jnp.arange(sh) * stride).astype(jnp.float32)[:, None]
+    # tl_x/tl_y: origin of `depth` within the full camera frame (ROI renders)
+    u = (tl_x + cx + jnp.arange(sw) * stride).astype(jnp.float32)[None, :]
+    v = (tl_y + cy + jnp.arange(sh) * stride).astype(jnp.float32)[:, None]
     z = sub.astype(jnp.float32) / 1000.0
     x = (u - K[0, 2]) / K[0, 0] * z
     y = (v - K[1, 2]) / K[1, 1] * z

@@ -43,7 +43,7 @@ from pose_refine_tpu.ops import rasterize as rz
 
 TILE_H = 8
 TILE_W = 128
-BLOCK = 128        # triangles per block (one lane row of coefficients)
+BLOCK = 128        # triangles per block (lane-dim dynamic slices must be 128-aligned)
 SUPER = 8          # blocks per superblock
 BIG = 3.0e38       # "empty pixel" sentinel, above any real 1/denom
 
@@ -120,7 +120,10 @@ def _triangle_setup(tris, poses, proj, width: int, height: int, roi):
 
 
 def _tile_counts(bb, out_h: int, out_w: int, height: int, roi):
-    """(N, TY, TX) int32: how many triangle blocks intersect each tile."""
+    """(N, TY, TX) int32: how many bbox groups intersect each tile.
+
+    Called with the SUPERBLOCK bboxes: a conservative (never-miss) gate for
+    the kernel's empty-tile early-out, 8x cheaper to plan than block-level."""
     ty = -(-out_h // TILE_H)
     tx = -(-out_w // TILE_W)
     rx, ry = roi[0], roi[1]
@@ -186,7 +189,9 @@ def _kernel(count_ref, sb_ref, bb_ref, coef_ref, out_ref, acc_ref, *, height, ro
                         bx_denom = ddx * px + dd0
 
                         # static unroll: lane-dim slices of acc must be
-                        # compile-time constants on TPU
+                        # compile-time constants on TPU. (A per-row bbox
+                        # skip via pl.when was measured SLOWER - predication
+                        # overhead exceeds the saved (128,128) row compute.)
                         for r in range(TILE_H):
                             py = py_top - r
                             beta = bx_beta + kby * py
@@ -234,7 +239,7 @@ def rasterize_pallas(
     n = poses.shape[0]
 
     coef, bb, sb = _triangle_setup(tris, poses, proj, width, height, roi)
-    count, ty, tx = _tile_counts(bb, out_h, out_w, height, roi)
+    count, ty, tx = _tile_counts(sb, out_h, out_w, height, roi)
     nb, nsb = bb.shape[1], sb.shape[1]
 
     kernel = functools.partial(_kernel, height=height, roi=roi, nsb=nsb)

@@ -35,7 +35,7 @@ from pose_refine_tpu.scene.projective import SceneProjective
     jax.jit,
     static_argnames=(
         "width", "height", "max_points", "criteria", "use_pallas",
-        "lift", "window", "stride",
+        "lift", "window", "stride", "roi",
     ),
 )
 def refine_poses_jit(
@@ -52,6 +52,7 @@ def refine_poses_jit(
     lift: str = "window",
     window: int = 256,
     stride: int = 2,
+    roi=(0, 0, 0, 0),
 ):
     """The fused program: render N poses, lift to clouds, run batched ICP.
 
@@ -62,17 +63,26 @@ def refine_poses_jit(
     if use_pallas:
         from pose_refine_tpu.ops.rasterize_pallas import rasterize_pallas
 
-        depth = rasterize_pallas(tris, init_poses, width, height, proj)
+        depth = rasterize_pallas(tris, init_poses, width, height, proj, roi=roi)
     else:
-        depth = rz.rasterize_scatter(tris, init_poses, width, height, proj)
+        depth = rz.rasterize_scatter(tris, init_poses, width, height, proj, roi=roi)
+    out_h, out_w = depth.shape[1:]
 
     if lift == "window":
-        # scatter-free: per-pose object-centered crop + stride
+        # scatter-free: per-pose object-centered crop + stride, then top_k
+        # compaction so ICP's per-iteration gathers touch only valid rows
         # (TPU scatter makes exclusive-scan compaction ~10x the ICP cost)
-        from pose_refine_tpu.ops.depth_to_cloud import window_cloud
+        from pose_refine_tpu.ops.depth_to_cloud import compact_topk, window_cloud
+
+        n_window = (-(-min(window, out_h) // stride)) * (-(-min(window, out_w) // stride))
 
         def one_lift(d):
-            return window_cloud(d, K, window=window, stride=stride)
+            pts, v, n = window_cloud(
+                d, K, window=window, stride=stride, tl_x=roi[0], tl_y=roi[1]
+            )
+            if max_points < n_window:
+                return compact_topk(pts, v, max_points)
+            return pts, v, n
     else:
         def one_lift(d):
             pts, mask = depth_image_to_points(d, K)
@@ -115,6 +125,8 @@ class PoseRefiner:
         lift: str = "window",
         window: int = 256,
         stride: int = 2,
+        auto_roi: bool = True,
+        roi_margin: float = 0.35,
     ):
         self.model = Model.load(model) if isinstance(model, str) else model
         self.tris = jnp.asarray(self.model.tris[morton_order(self.model.tris)])
@@ -131,10 +143,34 @@ class PoseRefiner:
         self.lift = lift
         self.window = int(min(window, width, height))
         self.stride = int(stride)
+        self.auto_roi = bool(auto_roi)
+        self.roi_margin = float(roi_margin)
+        self.roi = (0, 0, 0, 0)
+
+    def _compute_roi(self, scene_depth):
+        """Crop-while-rendering window around the observed object - the
+        reference's ROI mechanism (renderer.h:199-202) made automatic.
+        Aligned to the Pallas kernel's (8, 128) framebuffer tiles."""
+        d = np.asarray(scene_depth)
+        ys, xs = np.nonzero(d > 0)
+        if len(xs) == 0:
+            return (0, 0, 0, 0)
+        mx = int(self.roi_margin * max(xs.max() - xs.min(), ys.max() - ys.min())) + 16
+        x0 = max(int(xs.min()) - mx, 0)
+        y0 = max(int(ys.min()) - mx, 0)
+        x1 = min(int(xs.max()) + mx, self.width)
+        y1 = min(int(ys.max()) + mx, self.height)
+        w = min(-(-(x1 - x0) // 128) * 128, self.width)
+        h = min(-(-(y1 - y0) // 8) * 8, self.height)
+        x0 = min(x0, self.width - w)
+        y0 = min(y0, self.height - h)
+        return (x0, y0, w, h)
 
     def set_scene_depth(self, scene_depth):
         """Build the association structure from an (H, W) mm depth image.
         Happens once per frame (SURVEY.md 3.3), not per ICP iteration."""
+        if self.auto_roi:
+            self.roi = self._compute_roi(scene_depth)
         if self.scene_kind == "projective":
             self.scene = SceneProjective.from_depth(
                 scene_depth, self.K, self.max_dist_diff
@@ -184,6 +220,7 @@ class PoseRefiner:
             lift=self.lift,
             window=self.window,
             stride=self.stride,
+            roi=self.roi,
         )
         if squeeze:
             refined = refined[0]
