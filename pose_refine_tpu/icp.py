@@ -130,6 +130,7 @@ def icp_point_to_plane(
     criteria: ICPConvergenceCriteria = ICPConvergenceCriteria(),
     n_points=None,
     reduction: str = "matmul",
+    chunk_iters: int = 8,
 ):
     """Refine one cloud against a scene.
 
@@ -142,6 +143,13 @@ def icp_point_to_plane(
                 divides by its compacted cloud size, icp.cpp:158).
       reduction: 'matmul' (MXU normal equations - the TPU-native default) or
                  'packed' (the reference's 29-float transform_reduce shape).
+      chunk_iters: early-exit granularity. The loop runs as a while_loop over
+                 chunks of this many fori iterations: convergence still stops
+                 the work early (like the reference's while-style exit,
+                 icp.cpp:162-166) while bounding the number of device
+                 program segments (each while iteration costs a host
+                 round-trip on tunneled runtimes). Set >= max_iteration + 1
+                 for one pure fori program.
 
     Returns:
       (RegistrationResult, transformed cloud (P, 3)).
@@ -199,7 +207,23 @@ def icp_point_to_plane(
         it=jnp.int32(0),
         done=jnp.asarray(False),
     )
-    final = jax.lax.fori_loop(0, max_iter + 1, body, init)
+    total = max_iter + 1
+    chunk = max(1, min(int(chunk_iters), total))
+    if chunk >= total:
+        final = jax.lax.fori_loop(0, total, body, init)
+    else:
+        # done latches inside body, so overrunning past `total` inside the
+        # last chunk is a no-op; the while just stops dispatching chunks.
+        def chunk_body(s: _State) -> _State:
+            # static trip count (a traced-bound fori would lower back to a
+            # per-iteration while); the state carries its own counter
+            return jax.lax.fori_loop(
+                0, chunk, lambda _, st: body(st.it, st), s
+            )
+
+        final = jax.lax.while_loop(
+            lambda s: (s.it < total) & ~s.done, chunk_body, init
+        )
     return (
         RegistrationResult(final.T, final.fitness, final.rmse),
         final.cloud,

@@ -240,3 +240,49 @@ def test_icp_packed_variant_runs():
     np.testing.assert_allclose(
         np.asarray(r1.transformation), np.asarray(r2.transformation), atol=1e-4
     )
+
+
+def test_golden_recovery_obj06_reference_asset():
+    """Full-scale golden test on the actual LINEMOD obj_06 mesh at the
+    reference's 640x480 resolution (runs only when the asset is mounted)."""
+    import pytest
+
+    path = mesh.find_reference_ply()
+    if path is None:
+        pytest.skip("reference obj_06.ply not mounted")
+    m = mesh.Model.load(path, verbose=False)
+    K = geometry.LINEMOD_K
+    proj = geometry.compute_proj(K, 640, 480)
+    pose1, pose2, ang = reference_demo_poses()
+
+    tris = m.tris[mesh.morton_order(m.tris)]
+    depth = np.asarray(
+        R.rasterize_scatter(tris, np.stack([pose1, pose2]), 640, 480, proj, window=8)
+    )
+    cloud, valid, n = depth_to_cloud(depth[0], K, max_points=32768)
+    scene = SceneProjective.from_depth(depth[1], K)
+    result, _ = icp_mod.icp_point_to_plane(cloud, valid, scene.query)
+    T = np.asarray(result.transformation)
+    euler = np.asarray(geometry.rotation_to_euler(T[:3, :3]))
+    err_deg = np.abs(euler - ang) / np.pi * 180.0
+    # the reference demo recovers this perturbation to ~degree level; at
+    # full resolution our pipeline lands well under a degree on y/z and
+    # about a degree on x (depth quantization floor)
+    assert (err_deg < 1.5).all(), f"per-axis angle error {err_deg} deg"
+    assert float(result.fitness) > 0.9
+
+
+def test_icp_chunked_matches_unchunked():
+    m = mesh.make_bumpy_sphere(radius=40.0, subdivisions=3)
+    K = small_K()
+    proj = geometry.compute_proj(K, W, H)
+    pose1, pose2, _ = reference_demo_poses()
+    depth = np.asarray(R.rasterize_dense(m.tris, np.stack([pose1, pose2]), W, H, proj))
+    cloud, valid, _ = depth_to_cloud(depth[0], K, max_points=8192)
+    scene = SceneProjective.from_depth(depth[1], K)
+    r1, _ = icp_mod.icp_point_to_plane(cloud, valid, scene.query, chunk_iters=8)
+    r2, _ = icp_mod.icp_point_to_plane(cloud, valid, scene.query, chunk_iters=64)
+    np.testing.assert_allclose(
+        np.asarray(r1.transformation), np.asarray(r2.transformation), atol=1e-6
+    )
+    assert float(r1.fitness) == float(r2.fitness)
