@@ -15,5 +15,7 @@ from pose_refine_tpu.ops.convert import (  # noqa: F401
 from pose_refine_tpu.ops.depth_to_cloud import (  # noqa: F401
     depth_image_to_points,
     compact_points,
+    compact_topk,
+    window_cloud,
 )
 from pose_refine_tpu.ops.normals import estimate_normals  # noqa: F401

@@ -17,11 +17,14 @@ and scales further across chips by sharding that axis over a device mesh
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger("pose_refine_tpu")
 
 from pose_refine_tpu import geometry, icp
 from pose_refine_tpu.mesh import Model, morton_order
@@ -171,6 +174,7 @@ class PoseRefiner:
         Happens once per frame (SURVEY.md 3.3), not per ICP iteration."""
         if self.auto_roi:
             self.roi = self._compute_roi(scene_depth)
+            logger.info("auto ROI (x, y, w, h) = %s", self.roi)
         if self.scene_kind == "projective":
             self.scene = SceneProjective.from_depth(
                 scene_depth, self.K, self.max_dist_diff
@@ -185,6 +189,9 @@ class PoseRefiner:
             )
         else:
             raise ValueError(f"unknown scene kind {self.scene_kind!r}")
+        logger.info(
+            "scene built: kind=%s, %s", self.scene_kind, type(self.scene).__name__
+        )
         return self
 
     def set_scene_cloud(self, points, normals):
