@@ -112,6 +112,41 @@ def main():
     ).max(axis=1)
     ok = float((np.degrees(euler_err) < 3.0).mean())
 
+    # measured same-host CPU baseline: the reference algorithm in C++
+    # (native/cpu_baseline.cpp), render + projective ICP on a pose subset
+    cpu_line = "cpu baseline unavailable"
+    try:
+        from pose_refine_tpu import native
+        from pose_refine_tpu.ops.depth_to_cloud import depth_to_cloud
+
+        if native.native_available():
+            n_sub = 8
+            t0 = time.perf_counter()
+            dep_cc = native.cpu_render_baseline(
+                np.asarray(tris), poses[:n_sub], np.asarray(proj), WIDTH, HEIGHT
+            )
+            cpu_render_s = time.perf_counter() - t0
+            clouds_v, valids_v = [], []
+            for i in range(n_sub):
+                c, v, _ = depth_to_cloud(dep_cc[i], K, max_points=MAX_POINTS)
+                clouds_v.append(np.asarray(c))
+                valids_v.append(np.asarray(v))
+            scene_p = refiner.scene
+            t0 = time.perf_counter()
+            native.cpu_icp_baseline(
+                np.stack(clouds_v), np.stack(valids_v),
+                np.asarray(scene_p.pcd), np.asarray(scene_p.normal), K,
+            )
+            cpu_icp_s = time.perf_counter() - t0
+            cpu_per_pose = (cpu_render_s + cpu_icp_s) / n_sub
+            cpu_line = (
+                f"same-host CPU baseline ({native.cpu_threads()} threads): "
+                f"{1.0/cpu_per_pose:.1f} poses/sec "
+                f"({cpu_render_s/n_sub*1000:.0f} ms render + {cpu_icp_s/n_sub*1000:.0f} ms icp per pose)"
+            )
+    except Exception as e:  # baseline must never break the bench
+        cpu_line = f"cpu baseline failed: {e}"
+
     value = N_POSES / dt
     result = {
         "metric": "poses_refined_per_sec_batch256_640x480_full_pipeline",
@@ -123,7 +158,7 @@ def main():
     print(
         f"# details: batch {N_POSES}, wall {dt*1000:.1f} ms, compile {compile_s:.1f} s, "
         f"scene init {scene_init_s*1000:.1f} ms, mean fitness {fit.mean():.3f}, "
-        f"recovered<3deg {ok*100:.0f}%, backend {jax.default_backend()}",
+        f"recovered<3deg {ok*100:.0f}%, backend {jax.default_backend()}; {cpu_line}",
         file=sys.stderr,
     )
 

@@ -169,3 +169,38 @@ def test_flash_backend_in_scene(rng):
     g1 = ((np.asarray(d1) - q) ** 2).sum(-1)
     g2 = ((np.asarray(d2) - q) ** 2).sum(-1)
     np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-6)
+
+
+def test_cpu_baseline_matches_jax_pipeline(rng):
+    """The native C++ baseline (renderer + projective ICP) must agree with
+    the JAX pipeline on the golden scenario - it is the measured 'reference
+    CPU' bench.py compares against, so its correctness matters."""
+    from pose_refine_tpu import native, geometry, mesh
+    import pose_refine_tpu.ops.rasterize as R
+    from pose_refine_tpu.ops.depth_to_cloud import depth_to_cloud
+    from pose_refine_tpu.scene.projective import SceneProjective
+    from pose_refine_tpu import icp as icp_mod
+    from tests.test_icp import reference_demo_poses
+
+    if not native.native_available():
+        pytest.skip("g++ unavailable")
+    m = mesh.make_bumpy_sphere(radius=50.0, subdivisions=3)
+    K = geometry.LINEMOD_K.copy()
+    K[:2] *= 0.5
+    proj = np.asarray(geometry.compute_proj(K, 320, 240))
+    pose1, pose2, ang = reference_demo_poses()
+
+    depth_cc = native.cpu_render_baseline(m.tris, np.stack([pose1, pose2]), proj, 320, 240)
+    depth_jx = np.asarray(R.rasterize_dense(m.tris, np.stack([pose1, pose2]), 320, 240, proj))
+    assert (depth_cc != depth_jx).mean() < 1e-4  # near-bit-exact
+
+    cloud, valid, _ = depth_to_cloud(depth_jx[0], K, max_points=16384)
+    scene = SceneProjective.from_depth(depth_jx[1], K)
+    T, fit, rmse = native.cpu_icp_baseline(
+        np.asarray(cloud)[None], np.asarray(valid)[None],
+        np.asarray(scene.pcd), np.asarray(scene.normal), K,
+    )
+    res, _ = icp_mod.icp_point_to_plane(cloud, valid, scene.query)
+    np.testing.assert_allclose(np.asarray(res.transformation), T[0], atol=5e-3)
+    assert abs(float(res.fitness) - fit[0]) < 5e-3
+    assert abs(float(res.inlier_rmse) - rmse[0]) < 1e-4
