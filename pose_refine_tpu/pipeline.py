@@ -26,6 +26,14 @@ import numpy as np
 
 logger = logging.getLogger("pose_refine_tpu")
 
+
+def dataclasses_replace_maxdist(scene, max_dist: float):
+    """Scene with a different association gate (same structure; scenes are
+    frozen pytree dataclasses)."""
+    import dataclasses
+
+    return dataclasses.replace(scene, max_dist_diff=jnp.float32(max_dist))
+
 from pose_refine_tpu import geometry, icp
 from pose_refine_tpu.mesh import Model, morton_order
 from pose_refine_tpu.ops import rasterize as rz
@@ -206,9 +214,35 @@ class PoseRefiner:
         self,
         init_poses,
         criteria: icp.ICPConvergenceCriteria = icp.ICPConvergenceCriteria(),
+        schedule=None,
     ):
-        """(N, 4, 4) hypotheses -> (refined (N, 4, 4), RegistrationResult)."""
+        """(N, 4, 4) hypotheses -> (refined (N, 4, 4), RegistrationResult).
+
+        schedule: optional coarse-to-fine association schedule - a list of
+        (max_dist_diff_m, max_iteration) levels, e.g. [(0.25, 10), (0.05, 20)].
+        Each level re-renders at the current estimates and runs ICP with that
+        inlier gate; a loose first gate widens the convergence basin, a tight
+        last gate sharpens the result. (Beyond-parity feature; the reference
+        has one fixed 0.1 m gate, depth_scene.h:9.)"""
         assert self.scene is not None, "set_scene_depth / set_scene_cloud first"
+        if schedule:
+            poses = init_poses
+            for max_dist, iters in schedule:
+                level_scene = dataclasses_replace_maxdist(self.scene, max_dist)
+                saved = self.scene
+                self.scene = level_scene
+                try:
+                    poses, results = self.refine(
+                        poses,
+                        criteria=icp.ICPConvergenceCriteria(
+                            criteria.relative_fitness,
+                            criteria.relative_rmse,
+                            int(iters),
+                        ),
+                    )
+                finally:
+                    self.scene = saved
+            return poses, results
         init_poses = jnp.asarray(init_poses, jnp.float32)
         squeeze = init_poses.ndim == 2
         if squeeze:

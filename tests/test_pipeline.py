@@ -93,3 +93,31 @@ def test_refiner_nn_scene(setup):
     refiner.set_scene_depth(scene_depth)
     refined, results = refiner.refine(pose1)
     assert float(results.fitness) > 0.7
+
+
+def test_refine_schedule_widens_basin(setup):
+    """Coarse-to-fine gate schedule recovers a perturbation too large for the
+    single-level 0.1 m gate."""
+    m, K = setup
+    pose1, pose2, _ = reference_demo_poses()
+    # a much larger perturbation: ~25 deg per axis + 40 mm
+    big = np.float32(25.0 / 180.0 * np.pi)
+    rot = np.asarray(geometry.euler_to_rotation(np.array([big, big, big])))
+    start = np.asarray(
+        geometry.pose_from_Rt(rot @ pose2[:3, :3], pose2[:3, 3] + np.float32(40.0))
+    )
+
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    scene_depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+    refiner = prt.PoseRefiner(m, K=K, width=W, height=H, max_points=8192, use_pallas=False)
+    refiner.set_scene_depth(scene_depth)
+
+    def rot_err(T):
+        Rr = np.asarray(T)[:3, :3] @ pose2[:3, :3].T
+        return np.degrees(np.arccos(np.clip((np.trace(Rr) - 1) / 2, -1, 1)))
+
+    single, _ = refiner.refine(start)
+    sched, _ = refiner.refine(start, schedule=[(0.4, 15), (0.1, 20), (0.03, 15)])
+    # the schedule must do at least as well, and actually converge
+    assert rot_err(sched) <= rot_err(single) + 1e-3
+    assert rot_err(sched) < 5.0, f"schedule failed to converge: {rot_err(sched)} deg"
