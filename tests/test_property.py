@@ -1,0 +1,84 @@
+"""Property-based tests (hypothesis): invariants over random inputs,
+the systematic version of the reference's spot-check test style."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from pose_refine_tpu import geometry
+from pose_refine_tpu.scene.kdtree import build_kdtree
+from pose_refine_tpu.scene.nn import SceneNN
+
+finite_angle = st.floats(-3.0, 3.0, allow_nan=False, width=32)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.tuples(finite_angle, finite_angle, finite_angle))
+def test_euler_rotation_is_orthonormal(theta):
+    R = np.asarray(geometry.euler_to_rotation(np.array(theta, np.float32)))
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    assert abs(np.linalg.det(R) - 1.0) < 1e-5
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=11, max_value=400),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_kdtree_nn_always_exact(n, seed):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-0.2, 0.2, (n, 3)).astype(np.float32)
+    pts[:, 2] += 0.5
+    nrm = np.tile(np.array([[0, 0, -1.0]], np.float32), (n, 1))
+    scene = SceneNN.from_cloud(pts, nrm, max_dist_diff=100.0)
+    q = rng.uniform(-0.3, 0.3, (40, 3)).astype(np.float32)
+    q[:, 2] += 0.5
+    dst, _, valid = scene.query(q)
+    assert bool(np.asarray(valid).all())
+    got = ((np.asarray(dst) - q) ** 2).sum(-1)
+    want = ((q[:, None, :] - pts[None]) ** 2).sum(-1).min(1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-12)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=2, max_value=500), st.integers(min_value=0, max_value=2**31 - 1))
+def test_kdtree_build_partitions(n, seed):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    tree = build_kdtree(pts, pts.copy(), leaf_size=10)
+    leaf = tree.child[:, 0] < 0
+    sizes = tree.bounds[leaf, 1] - tree.bounds[leaf, 0]
+    assert sizes.sum() == n
+    assert (sizes >= 1).all() and (sizes <= 10).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=639),
+    st.integers(min_value=0, max_value=479),
+    st.integers(min_value=1, max_value=5000),
+)
+def test_pixel_point_roundtrip(x, y, d):
+    K = geometry.LINEMOD_K
+    pt = geometry.dep2pcd(x, y, d, K)
+    xyd = np.asarray(geometry.pcd2dep(pt, K))
+    assert xyd[0] == x and xyd[1] == y and xyd[2] == d
+
+
+def test_viz_helpers(tmp_path):
+    from pose_refine_tpu.utils import viz
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(50, 3)).astype(np.float32)
+    nrm = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    viz.save_point_cloud(str(tmp_path / "c.ply"), pts, nrm)
+    from pose_refine_tpu.mesh import load_ply
+
+    v, f = load_ply(str(tmp_path / "c.ply"))
+    np.testing.assert_allclose(v, pts, atol=1e-4)
+
+    depth = np.zeros((48, 64), np.int32)
+    depth[10:30, 20:50] = 300
+    viz.save_depth_ppm(str(tmp_path / "d.ppm"), depth)
+    assert (tmp_path / "d.ppm").stat().st_size > 100
+    art = viz.ascii_depth(depth)
+    assert "#" in art or "o" in art
