@@ -86,10 +86,24 @@ def main():
     refiner.set_scene_depth(scene_depth)
     scene_init_s = time.perf_counter() - t0
 
-    poses_dev = jax.device_put(jnp.asarray(poses))
+    n_dev = len(jax.devices())
+    if n_dev > 1 and N_POSES % n_dev == 0:
+        # shard the pose batch over all attached chips (pure DP over ICI)
+        from pose_refine_tpu.parallel import make_mesh, refine_poses_sharded
 
-    def run():
-        return refiner.refine(poses_dev)
+        dev_mesh = make_mesh()
+        scene_obj = refiner.scene
+
+        def run():
+            return refine_poses_sharded(
+                tris, poses, scene_obj, proj, K, WIDTH, HEIGHT,
+                max_points=MAX_POINTS, mesh=dev_mesh, use_pallas=use_pallas,
+            )
+    else:
+        poses_dev = jax.device_put(jnp.asarray(poses))
+
+        def run():
+            return refiner.refine(poses_dev)
 
     # compile + warm
     t0 = time.perf_counter()
@@ -158,7 +172,7 @@ def main():
     print(
         f"# details: batch {N_POSES}, wall {dt*1000:.1f} ms, compile {compile_s:.1f} s, "
         f"scene init {scene_init_s*1000:.1f} ms, mean fitness {fit.mean():.3f}, "
-        f"recovered<3deg {ok*100:.0f}%, backend {jax.default_backend()}; {cpu_line}",
+        f"recovered<3deg {ok*100:.0f}%, backend {jax.default_backend()} x{n_dev}; {cpu_line}",
         file=sys.stderr,
     )
 

@@ -225,6 +225,13 @@ class PoseRefiner:
         last gate sharpens the result. (Beyond-parity feature; the reference
         has one fixed 0.1 m gate, depth_scene.h:9.)"""
         assert self.scene is not None, "set_scene_depth / set_scene_cloud first"
+        init_arr = np.asarray(init_poses)
+        if init_arr.shape[-2:] != (4, 4):
+            raise ValueError(
+                f"init_poses must be (..., 4, 4) model->camera transforms, got {init_arr.shape}"
+            )
+        if init_arr.ndim not in (2, 3):
+            raise ValueError(f"init_poses must be (4, 4) or (N, 4, 4), got {init_arr.shape}")
         if schedule:
             poses = init_poses
             for max_dist, iters in schedule:
