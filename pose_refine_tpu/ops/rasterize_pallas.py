@@ -141,84 +141,87 @@ def _tile_counts(bb, out_h: int, out_w: int, height: int, roi):
     return hit.sum(axis=1).astype(jnp.int32), ty, tx
 
 
-def _kernel(count_ref, sb_ref, bb_ref, coef_ref, out_ref, acc_ref, *, height, roi, nsb):
+def _kernel(count_ref, sb_ref, bb_ref, coef_ref, out_ref, acc_ref, *, height, roi, nsb, out_w):
+    """One grid step = one full-width row stripe (TILE_H x out_w): the x-tile
+    loop runs inside the kernel, cutting grid-step fixed costs by W/128."""
     ty = pl.program_id(1)
-    tx = pl.program_id(2)
     rx, ry = roi[0], roi[1]
-
-    x_lo = jnp.float32(tx * TILE_W + rx)
     py_top = jnp.float32(height - 1 - ry) - jnp.float32(ty * TILE_H)
     py_bot = py_top - (TILE_H - 1)
-    x_hi = x_lo + (TILE_W - 1)
-    # pixels on sublanes: px[s] = x_lo + s
-    px = x_lo + jax.lax.broadcasted_iota(jnp.int32, (TILE_W, 1), 0).astype(jnp.float32)  # (128, 1)
+    n_tx = -(-out_w // TILE_W)
 
-    nhit = count_ref[0, ty, tx]
+    for tx in range(n_tx):
+        x_lo = jnp.float32(tx * TILE_W + rx)
+        x_hi = x_lo + (TILE_W - 1)
+        # pixels on sublanes: px[s] = x_lo + s
+        px = x_lo + jax.lax.broadcasted_iota(jnp.int32, (TILE_W, 1), 0).astype(jnp.float32)
 
-    acc_ref[...] = jnp.full((TILE_W, TILE_H), BIG, jnp.float32)
+        nhit = count_ref[0, ty, tx]
+        acc_ref[...] = jnp.full((TILE_W, TILE_H), BIG, jnp.float32)
 
-    @pl.when(nhit > 0)
-    def _process():
-        def superblock_body(s, _):
-            s_hit = (
-                (sb_ref[0, s, 0] <= x_hi) & (sb_ref[0, s, 2] >= x_lo)
-                & (sb_ref[0, s, 1] <= py_top) & (sb_ref[0, s, 3] >= py_bot)
-            )
+        @pl.when(nhit > 0)
+        def _process():
+            def superblock_body(s, _):
+                s_hit = (
+                    (sb_ref[0, s, 0] <= x_hi) & (sb_ref[0, s, 2] >= x_lo)
+                    & (sb_ref[0, s, 1] <= py_top) & (sb_ref[0, s, 3] >= py_bot)
+                )
 
-            @pl.when(s_hit)
-            def _():
-                def block_body(b, _):
-                    b_hit = (
-                        (bb_ref[0, b, 0] <= x_hi) & (bb_ref[0, b, 2] >= x_lo)
-                        & (bb_ref[0, b, 1] <= py_top) & (bb_ref[0, b, 3] >= py_bot)
-                    )
+                @pl.when(s_hit)
+                def _():
+                    def block_body(b, _):
+                        b_hit = (
+                            (bb_ref[0, b, 0] <= x_hi) & (bb_ref[0, b, 2] >= x_lo)
+                            & (bb_ref[0, b, 1] <= py_top) & (bb_ref[0, b, 3] >= py_bot)
+                        )
 
-                    @pl.when(b_hit)
-                    def _():
-                        off = pl.multiple_of(b * BLOCK, BLOCK)
-                        blk = coef_ref[0, :, pl.ds(off, BLOCK)]  # (16, BLOCK)
-                        kbx, kby, kb0 = blk[0:1], blk[1:2], blk[2:3]   # (1, 128)
-                        kgx, kgy, kg0 = blk[3:4], blk[4:5], blk[5:6]
-                        ddx, ddy, dd0 = blk[6:7], blk[7:8], blk[8:9]
-                        xs, ys_ = blk[9:10], blk[10:11]
-                        xm, ym = blk[11:12], blk[12:13]
+                        @pl.when(b_hit)
+                        def _():
+                            off = pl.multiple_of(b * BLOCK, BLOCK)
+                            blk = coef_ref[0, :, pl.ds(off, BLOCK)]  # (16, BLOCK)
+                            kbx, kby, kb0 = blk[0:1], blk[1:2], blk[2:3]   # (1, 128)
+                            kgx, kgy, kg0 = blk[3:4], blk[4:5], blk[5:6]
+                            ddx, ddy, dd0 = blk[6:7], blk[7:8], blk[8:9]
+                            xs, ys_ = blk[9:10], blk[10:11]
+                            xm, ym = blk[11:12], blk[12:13]
 
-                        x_ok = (px >= xs) & (px <= xm)       # (128 px, 128 tri)
-                        bx_beta = kbx * px + kb0
-                        bx_gamma = kgx * px + kg0
-                        bx_denom = ddx * px + dd0
+                            x_ok = (px >= xs) & (px <= xm)   # (128 px, 128 tri)
+                            bx_beta = kbx * px + kb0
+                            bx_gamma = kgx * px + kg0
+                            bx_denom = ddx * px + dd0
 
-                        # static unroll: lane-dim slices of acc must be
-                        # compile-time constants on TPU. (A per-row bbox
-                        # skip via pl.when was measured SLOWER - predication
-                        # overhead exceeds the saved (128,128) row compute.)
-                        for r in range(TILE_H):
-                            py = py_top - r
-                            beta = bx_beta + kby * py
-                            gamma = bx_gamma + kgy * py
-                            alpha = 1.0 - beta - gamma
-                            denom = bx_denom + ddy * py
-                            cov = (
-                                (beta >= 0.0) & (gamma >= 0.0) & (alpha >= 0.0)
-                                & x_ok & (py >= ys_) & (py <= ym)
-                            )
-                            depth = jnp.where(cov, 1.0 / denom, BIG)
-                            col = jnp.min(depth, axis=1, keepdims=True)  # (128, 1)
-                            acc_ref[:, r : r + 1] = jnp.minimum(
-                                acc_ref[:, r : r + 1], col
-                            )
+                            # static unroll: lane-dim slices of acc must be
+                            # compile-time constants on TPU. (A per-row bbox
+                            # skip via pl.when was measured SLOWER -
+                            # predication overhead exceeds the saved compute.)
+                            for r in range(TILE_H):
+                                py = py_top - r
+                                beta = bx_beta + kby * py
+                                gamma = bx_gamma + kgy * py
+                                alpha = 1.0 - beta - gamma
+                                denom = bx_denom + ddy * py
+                                cov = (
+                                    (beta >= 0.0) & (gamma >= 0.0) & (alpha >= 0.0)
+                                    & x_ok & (py >= ys_) & (py <= ym)
+                                )
+                                depth = jnp.where(cov, 1.0 / denom, BIG)
+                                col = jnp.min(depth, axis=1, keepdims=True)  # (128, 1)
+                                acc_ref[:, r : r + 1] = jnp.minimum(
+                                    acc_ref[:, r : r + 1], col
+                                )
 
-                    return 0
+                        return 0
 
-                jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER, block_body, 0)
+                    jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER, block_body, 0)
 
-            return 0
+                return 0
 
-        jax.lax.fori_loop(0, nsb, superblock_body, 0)
+            jax.lax.fori_loop(0, nsb, superblock_body, 0)
 
-    acc = acc_ref[...]
-    fb = jnp.where(acc >= BIG, 0, jnp.trunc(acc + 0.5).astype(jnp.int32))
-    out_ref[0] = fb.T
+        acc = acc_ref[...]
+        fb = jnp.where(acc >= BIG, 0, jnp.trunc(acc + 0.5).astype(jnp.int32))
+        w = min(TILE_W, out_w - tx * TILE_W)
+        out_ref[0, :, tx * TILE_W : tx * TILE_W + w] = fb[:w].T
 
 
 @functools.partial(
@@ -242,20 +245,20 @@ def rasterize_pallas(
     count, ty, tx = _tile_counts(sb, out_h, out_w, height, roi)
     nb, nsb = bb.shape[1], sb.shape[1]
 
-    kernel = functools.partial(_kernel, height=height, roi=roi, nsb=nsb)
+    kernel = functools.partial(_kernel, height=height, roi=roi, nsb=nsb, out_w=out_w)
     out = pl.pallas_call(
         kernel,
-        grid=(n, ty, tx),
+        grid=(n, ty),
         in_specs=[
-            pl.BlockSpec((1, ty, tx), lambda n_, y, x: (n_, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nsb, 4), lambda n_, y, x: (n_, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nb, 4), lambda n_, y, x: (n_, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ty, tx), lambda n_, y: (n_, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nsb, 4), lambda n_, y: (n_, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nb, 4), lambda n_, y: (n_, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, 16, coef.shape[2]), lambda n_, y, x: (n_, 0, 0), memory_space=pltpu.VMEM
+                (1, 16, coef.shape[2]), lambda n_, y: (n_, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, TILE_H, TILE_W), lambda n_, y, x: (n_, y, x), memory_space=pltpu.VMEM
+            (1, TILE_H, out_w), lambda n_, y: (n_, y, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, out_h, out_w), jnp.int32),
         scratch_shapes=[pltpu.VMEM((TILE_W, TILE_H), jnp.float32)],
