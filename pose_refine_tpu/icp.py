@@ -3,9 +3,10 @@
 Re-designs the reference ICP (icp.cpp:125-188 CPU / icp.cu:156-217 CUDA) the
 TPU way: the reference round-trips device->host every iteration (29-float
 reduction down, 6x6 solve on host with Eigen, 16-float transform up); here the
-whole outer loop is one ``lax.while_loop`` with the normal equations built by
-an MXU matmul and the damped 6x6 system solved on device, so a vmap over the
-pose batch refines hundreds of hypotheses with zero host synchronization.
+whole outer loop stays on device (a done-latched ``lax.fori_loop``, optionally
+chunked for early exit) with the normal equations built by an MXU matmul and
+the damped 6x6 system solved on device, so a vmap over the pose batch refines
+hundreds of hypotheses with zero host synchronization.
 
 Semantics preserved from the reference:
   * residual b = dot(dst - src, n); A row = [cross(src, n), n] (icp.h:144-163)

@@ -24,22 +24,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-logger = logging.getLogger("pose_refine_tpu")
-
-
-def dataclasses_replace_maxdist(scene, max_dist: float):
-    """Scene with a different association gate (same structure; scenes are
-    frozen pytree dataclasses)."""
-    import dataclasses
-
-    return dataclasses.replace(scene, max_dist_diff=jnp.float32(max_dist))
-
 from pose_refine_tpu import geometry, icp
 from pose_refine_tpu.mesh import Model, morton_order
 from pose_refine_tpu.ops import rasterize as rz
 from pose_refine_tpu.ops.depth_to_cloud import compact_points, depth_image_to_points
 from pose_refine_tpu.scene.nn import SceneNN
 from pose_refine_tpu.scene.projective import SceneProjective
+
+logger = logging.getLogger("pose_refine_tpu")
+
+
+def _scene_with_gate(scene, max_dist: float):
+    """Scene with a different association gate (same structure; scenes are
+    frozen pytree dataclasses)."""
+    import dataclasses
+
+    return dataclasses.replace(scene, max_dist_diff=jnp.float32(max_dist))
 
 
 @functools.partial(
@@ -67,9 +67,10 @@ def refine_poses_jit(
 ):
     """The fused program: render N poses, lift to clouds, run batched ICP.
 
-    Returns (refined_poses (N,4,4), RegistrationResult batch, icp_T (N,4,4)).
-    refined = icp_T @ init (the ICP transform acts on camera-space points,
-    so it left-composes onto the model->camera pose).
+    Returns (refined_poses (N,4,4), RegistrationResult batch), where
+    refined = T_icp @ init (the ICP transform acts on camera-space points,
+    so it left-composes onto the model->camera pose; its translation is
+    rescaled from meters to the pose's millimeters).
     """
     if use_pallas:
         from pose_refine_tpu.ops.rasterize_pallas import rasterize_pallas
@@ -235,7 +236,7 @@ class PoseRefiner:
         if schedule:
             poses = init_poses
             for max_dist, iters in schedule:
-                level_scene = dataclasses_replace_maxdist(self.scene, max_dist)
+                level_scene = _scene_with_gate(self.scene, max_dist)
                 saved = self.scene
                 self.scene = level_scene
                 try:

@@ -7,12 +7,16 @@ Two interchangeable device-side query backends behind one Scene interface:
                      ``lax.while_loop``: no recursion, no stack, parent
                      pointers + last-visited tracking, bbox min-distance
                      pruning. Exact NN.
-  * ``bruteforce`` - MXU-tiled exact NN: -2*p.q via matmul over scene chunks
-                     with a running (dist, idx) min. TPU-idiomatic; wins for
-                     moderate scene sizes where traversal divergence hurts.
+  * ``bruteforce`` - exact NN by exhaustive distance minimization. On TPU it
+                     runs the fused flash-NN Pallas kernel (nn_pallas.py,
+                     VMEM-resident scene, online min); on CPU an XLA
+                     chunked-scan formulation. TPU-idiomatic; wins whenever
+                     traversal divergence hurts (on tunneled runtimes the
+                     kd while_loop is unusable - see CLAUDE.md).
+  * ``flash``      - force the Pallas kernel (interpret mode on CPU; tests).
 
-Both accept an NN iff dist^2 < max_dist_diff^2 (pcd_scene.h:127) and return
-(dst_point, dst_normal, valid).
+All backends accept an NN iff dist^2 < max_dist_diff^2 (pcd_scene.h:127) and
+return (dst_point, dst_normal, valid) via one packed-table gather.
 """
 
 from __future__ import annotations

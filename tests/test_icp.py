@@ -286,3 +286,27 @@ def test_icp_chunked_matches_unchunked():
         np.asarray(r1.transformation), np.asarray(r2.transformation), atol=1e-6
     )
     assert float(r1.fitness) == float(r2.fitness)
+
+
+def test_solver_f32_refinement_matches_f64_when_ill_conditioned():
+    """The reference solves in f64 LDLT (icp.cpp:29-45); ours is f32 Cholesky
+    + one refinement step. Verify on ill-conditioned systems (near-planar
+    scene: rotation about the plane normal is weakly observable)."""
+    from pose_refine_tpu.icp import _solve_damped
+
+    rng = np.random.default_rng(4)
+    # build AtA from rows of a nearly-planar point set: poorly conditioned
+    pts = rng.uniform(-0.1, 0.1, (2000, 3)).astype(np.float32)
+    pts[:, 2] = 0.5 + 1e-4 * rng.normal(size=2000).astype(np.float32)
+    nrm = np.tile(np.array([[0, 0, -1.0]], np.float32), (2000, 1))
+    nrm += 1e-3 * rng.normal(size=(2000, 3)).astype(np.float32)
+    A = np.concatenate([np.cross(pts, nrm), nrm], axis=1).astype(np.float32)
+    b = (rng.normal(size=2000) * 0.01).astype(np.float32)
+    AtA = (A.T @ A).astype(np.float32)
+    Atb = (A.T @ b).astype(np.float32)
+
+    x32 = np.asarray(_solve_damped(jnp.asarray(AtA), jnp.asarray(Atb)))
+    x64 = np.linalg.solve(AtA.astype(np.float64) + 0.01 * np.eye(6), Atb.astype(np.float64))
+    # relative error of the damped solution
+    rel = np.linalg.norm(x32 - x64) / max(np.linalg.norm(x64), 1e-12)
+    assert rel < 1e-4, f"f32+refinement diverges from f64: rel={rel}"
