@@ -267,6 +267,35 @@ def make_icosphere(radius: float = 50.0, subdivisions: int = 3) -> Model:
     return Model.from_vertices_faces(verts * radius, faces)
 
 
+def simplify_vertex_clustering(model: Model, cell_size: float) -> Model:
+    """Decimate a mesh by vertex clustering: snap vertices to a uniform grid
+    of ``cell_size`` (model units), merge coincident vertices (cluster
+    centroid), drop collapsed faces.
+
+    The reference punts simplification to external tools ("use meshlab",
+    renderer.cpp:54-55); shipping one matters here because render cost scales
+    directly with triangle count. Depth error introduced is bounded by
+    ~cell_size/2 per vertex - pick well below the ICP inlier gate
+    (e.g. 2 mm cells against the default 0.1 m gate).
+    """
+    v = model.vertices.astype(np.float64)
+    lo = v.min(axis=0)
+    cell = np.maximum(np.floor((v - lo) / float(cell_size)).astype(np.int64), 0)
+    key = (cell[:, 0] << 42) | (cell[:, 1] << 21) | cell[:, 2]
+    uniq, inverse = np.unique(key, return_inverse=True)
+
+    # cluster centroid per unique cell
+    sums = np.zeros((len(uniq), 3), np.float64)
+    np.add.at(sums, inverse, v)
+    counts = np.bincount(inverse, minlength=len(uniq)).astype(np.float64)
+    new_verts = (sums / counts[:, None]).astype(np.float32)
+
+    f = inverse[model.faces]
+    keep = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])
+    new_faces = f[keep].astype(np.int32)
+    return Model.from_vertices_faces(new_verts, new_faces)
+
+
 def morton_order(tris: np.ndarray) -> np.ndarray:
     """Spatial (Morton/Z-curve) ordering of triangles by centroid.
 

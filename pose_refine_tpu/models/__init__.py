@@ -14,4 +14,5 @@ from pose_refine_tpu.mesh import (  # noqa: F401
     make_icosphere,
     make_bumpy_sphere,
     morton_order,
+    simplify_vertex_clustering,
 )

@@ -49,3 +49,40 @@ def test_reference_asset_if_present():
     # LINEMOD meshes are in mm; obj_06 is about 10 cm across
     extent = m.bbox_max - m.bbox_min
     assert 30 < extent.max() < 300
+
+
+def test_simplify_vertex_clustering():
+    m = mesh.make_bumpy_sphere(radius=50.0, subdivisions=4)  # 5120 tris
+    s = mesh.simplify_vertex_clustering(m, cell_size=6.0)
+    assert 0 < s.n_tris < m.n_tris * 0.6
+    # shape preserved: bbox within one cell
+    np.testing.assert_allclose(s.bbox_min, m.bbox_min, atol=6.0)
+    np.testing.assert_allclose(s.bbox_max, m.bbox_max, atol=6.0)
+    # vertices still near the original surface (radius ~50 +- bumps +- cell)
+    r = np.linalg.norm(s.vertices, axis=1)
+    assert r.min() > 25 and r.max() < 75
+
+
+def test_simplified_mesh_still_refines():
+    """End-to-end: a 2mm-clustered mesh recovers the golden perturbation."""
+    from tests.test_icp import reference_demo_poses
+    import pose_refine_tpu as prt
+    from pose_refine_tpu import geometry
+
+    m = mesh.make_bumpy_sphere(radius=50.0, subdivisions=4)
+    s = mesh.simplify_vertex_clustering(m, cell_size=2.0)
+    assert s.n_tris < m.n_tris
+
+    K = geometry.LINEMOD_K.copy()
+    K[:2] *= 0.5
+    pose1, pose2, ang = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=320, height=240, backend="dense")
+    scene_depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+    refiner = prt.PoseRefiner(s, K=K, width=320, height=240, max_points=8192, use_pallas=False)
+    refiner.set_scene_depth(scene_depth)
+    refined, res = refiner.refine(pose1)
+    euler = np.asarray(
+        geometry.rotation_to_euler(np.asarray(res.transformation)[:3, :3])
+    )
+    err = np.abs(euler - ang) / np.pi * 180.0
+    assert (err < 2.0).all(), f"simplified-mesh refinement error {err} deg"
