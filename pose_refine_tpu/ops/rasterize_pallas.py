@@ -119,20 +119,21 @@ def _triangle_setup(tris, poses, proj, width: int, height: int, roi):
     return coef, bb, sb
 
 
-def _tile_counts(bb, out_h: int, out_w: int, height: int, roi):
+def _tile_counts(bb, out_h: int, out_w: int, height: int, roi,
+                 tile_h: int = TILE_H, tile_w: int = TILE_W):
     """(N, TY, TX) int32: how many bbox groups intersect each tile.
 
     Called with the SUPERBLOCK bboxes: a conservative (never-miss) gate for
     the kernel's empty-tile early-out, 8x cheaper to plan than block-level."""
-    ty = -(-out_h // TILE_H)
-    tx = -(-out_w // TILE_W)
+    ty = -(-out_h // tile_h)
+    tx = -(-out_w // tile_w)
     rx, ry = roi[0], roi[1]
 
-    tile_x_lo = (jnp.arange(tx) * TILE_W + rx).astype(jnp.float32)
-    tile_x_hi = tile_x_lo + (TILE_W - 1)
-    row0 = jnp.arange(ty) * TILE_H
+    tile_x_lo = (jnp.arange(tx) * tile_w + rx).astype(jnp.float32)
+    tile_x_hi = tile_x_lo + (tile_w - 1)
+    row0 = jnp.arange(ty) * tile_h
     tile_py_hi = (height - 1 - ry - row0).astype(jnp.float32)
-    tile_py_lo = tile_py_hi - (TILE_H - 1)
+    tile_py_lo = tile_py_hi - (tile_h - 1)
 
     x0, y0, x1, y1 = bb[..., 0], bb[..., 1], bb[..., 2], bb[..., 3]
     ix = (x0[:, :, None] <= tile_x_hi) & (x1[:, :, None] >= tile_x_lo)  # (N,NB,TX)
@@ -224,8 +225,98 @@ def _kernel(count_ref, sb_ref, bb_ref, coef_ref, out_ref, acc_ref, *, height, ro
         out_ref[0, :, tx * TILE_W : tx * TILE_W + w] = fb[:w].T
 
 
+def _kernel32(count_ref, sb_ref, bb_ref, coef_ref, out_ref, acc_ref, *, height, roi, nsb, out_w):
+    """32x32-pixel subtile variant: square subtiles match the ~35px Morton
+    block bboxes much better than 8x128 stripes (1.55x fewer (block, tile)
+    pairs on the benchmark workload). One grid step covers a (32, out_w)
+    stripe; pixels are lane-packed as (s, p) -> (y = 4p + s//32, x = s%32)
+    so all compute keeps the proven pixels-on-sublanes x triangles-on-lanes
+    orientation, with one relayout per subtile on write-out."""
+    ty = pl.program_id(1)
+    rx, ry = roi[0], roi[1]
+    py_top = jnp.float32(height - 1 - ry) - jnp.float32(ty * 32)
+    py_bot = py_top - 31.0
+    n_sx = -(-out_w // 32)
+
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+    x_in_tile = (s_iota % 32).astype(jnp.float32)        # (128, 1)
+    y_sub = (s_iota // 32).astype(jnp.float32)           # (128, 1): row within pass
+
+    for sx in range(n_sx):
+        x_lo = jnp.float32(sx * 32 + rx)
+        x_hi = x_lo + 31.0
+        px = x_lo + x_in_tile
+        py0 = py_top - y_sub  # pass p adds -4p
+
+        nhit = count_ref[0, ty, sx]
+        acc_ref[...] = jnp.full((128, 8), BIG, jnp.float32)
+
+        @pl.when(nhit > 0)
+        def _process():
+            def superblock_body(s, _):
+                s_hit = (
+                    (sb_ref[0, s, 0] <= x_hi) & (sb_ref[0, s, 2] >= x_lo)
+                    & (sb_ref[0, s, 1] <= py_top) & (sb_ref[0, s, 3] >= py_bot)
+                )
+
+                @pl.when(s_hit)
+                def _():
+                    def block_body(b, _):
+                        b_hit = (
+                            (bb_ref[0, b, 0] <= x_hi) & (bb_ref[0, b, 2] >= x_lo)
+                            & (bb_ref[0, b, 1] <= py_top) & (bb_ref[0, b, 3] >= py_bot)
+                        )
+
+                        @pl.when(b_hit)
+                        def _():
+                            off = pl.multiple_of(b * BLOCK, BLOCK)
+                            blk = coef_ref[0, :, pl.ds(off, BLOCK)]  # (16, BLOCK)
+                            kbx, kby, kb0 = blk[0:1], blk[1:2], blk[2:3]
+                            kgx, kgy, kg0 = blk[3:4], blk[4:5], blk[5:6]
+                            ddx, ddy, dd0 = blk[6:7], blk[7:8], blk[8:9]
+                            xs, ys_ = blk[9:10], blk[10:11]
+                            xm, ym = blk[11:12], blk[12:13]
+
+                            x_ok = (px >= xs) & (px <= xm)
+                            b_beta = kbx * px + (kby * py0 + kb0)
+                            b_gamma = kgx * px + (kgy * py0 + kg0)
+                            b_denom = ddx * px + (ddy * py0 + dd0)
+
+                            for p in range(8):
+                                dy = jnp.float32(4 * p)
+                                py = py0 - dy
+                                beta = b_beta - kby * dy
+                                gamma = b_gamma - kgy * dy
+                                alpha = 1.0 - beta - gamma
+                                denom = b_denom - ddy * dy
+                                cov = (
+                                    (beta >= 0.0) & (gamma >= 0.0) & (alpha >= 0.0)
+                                    & x_ok & (py >= ys_) & (py <= ym)
+                                )
+                                depth = jnp.where(cov, 1.0 / denom, BIG)
+                                col = jnp.min(depth, axis=1, keepdims=True)
+                                acc_ref[:, p : p + 1] = jnp.minimum(
+                                    acc_ref[:, p : p + 1], col
+                                )
+
+                        return 0
+
+                    jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER, block_body, 0)
+
+                return 0
+
+            jax.lax.fori_loop(0, nsb, superblock_body, 0)
+
+        acc = acc_ref[...]
+        fb = jnp.where(acc >= BIG, 0, jnp.trunc(acc + 0.5).astype(jnp.int32))
+        # (s = s_hi*32 + x, p) -> image (y = 4p + s_hi, x)
+        img = fb.reshape(4, 32, 8).transpose(2, 0, 1).reshape(32, 32)
+        w = min(32, out_w - sx * 32)
+        out_ref[0, :, sx * 32 : sx * 32 + w] = img[:, :w]
+
+
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "roi", "interpret")
+    jax.jit, static_argnames=("width", "height", "roi", "interpret", "variant")
 )
 def rasterize_pallas(
     tris,
@@ -235,8 +326,14 @@ def rasterize_pallas(
     proj,
     roi: Tuple[int, int, int, int] = (0, 0, 0, 0),
     interpret: bool = False,
+    variant: str = "tile32",
 ):
-    """Render N poses -> (N, out_h, out_w) int32 depth mm. TPU fast path."""
+    """Render N poses -> (N, out_h, out_w) int32 depth mm. TPU fast path.
+
+    variant: 'tile32' (square 32x32 subtiles - default, fastest on meshes
+    with small triangles) or 'stripe8' (8x128 row-stripe tiles)."""
+    if variant == "tile32":
+        return _rasterize_pallas_tile32(tris, poses, width, height, proj, roi, interpret)
     out_w, out_h = rz.roi_shape(width, height, roi)
     poses = jnp.asarray(poses, jnp.float32)
     n = poses.shape[0]
@@ -262,6 +359,37 @@ def rasterize_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((n, out_h, out_w), jnp.int32),
         scratch_shapes=[pltpu.VMEM((TILE_W, TILE_H), jnp.float32)],
+        interpret=interpret,
+    )(count, sb, bb, coef)
+    return out
+
+
+def _rasterize_pallas_tile32(tris, poses, width, height, proj, roi, interpret):
+    out_w, out_h = rz.roi_shape(width, height, roi)
+    poses = jnp.asarray(poses, jnp.float32)
+    n = poses.shape[0]
+
+    coef, bb, sb = _triangle_setup(tris, poses, proj, width, height, roi)
+    count, ty, tx = _tile_counts(sb, out_h, out_w, height, roi, tile_h=32, tile_w=32)
+    nb, nsb = bb.shape[1], sb.shape[1]
+
+    kernel = functools.partial(_kernel32, height=height, roi=roi, nsb=nsb, out_w=out_w)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, ty),
+        in_specs=[
+            pl.BlockSpec((1, ty, tx), lambda n_, y: (n_, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nsb, 4), lambda n_, y: (n_, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nb, 4), lambda n_, y: (n_, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 16, coef.shape[2]), lambda n_, y: (n_, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 32, out_w), lambda n_, y: (n_, y, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, out_h, out_w), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((128, 8), jnp.float32)],
         interpret=interpret,
     )(count, sb, bb, coef)
     return out
