@@ -81,7 +81,8 @@ def main():
         )[0]
     refiner = prt.PoseRefiner(
         model, K=K, width=WIDTH, height=HEIGHT, max_points=MAX_POINTS,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, chunk_iters=64,  # wide perturbations: stragglers
+        # run all 31 iterations, so one fused program beats chunked early exit
     )
     refiner.set_scene_depth(scene_depth)
     scene_init_s = time.perf_counter() - t0

@@ -46,7 +46,7 @@ def _scene_with_gate(scene, max_dist: float):
     jax.jit,
     static_argnames=(
         "width", "height", "max_points", "criteria", "use_pallas",
-        "lift", "window", "stride", "roi",
+        "lift", "window", "stride", "roi", "chunk_iters",
     ),
 )
 def refine_poses_jit(
@@ -64,6 +64,7 @@ def refine_poses_jit(
     window: int = 256,
     stride: int = 2,
     roi=(0, 0, 0, 0),
+    chunk_iters: int = 8,
 ):
     """The fused program: render N poses, lift to clouds, run batched ICP.
 
@@ -103,7 +104,9 @@ def refine_poses_jit(
     clouds, valids, _n = jax.vmap(one_lift)(depth)
 
     def one(cloud, valid):
-        return icp.icp_point_to_plane(cloud, valid, scene.query, criteria)
+        return icp.icp_point_to_plane(
+            cloud, valid, scene.query, criteria, chunk_iters=chunk_iters
+        )
 
     results, _clouds = jax.vmap(one)(clouds, valids)
     # ICP acts on camera-space clouds in meters (depth2cloud's mm -> m,
@@ -139,6 +142,7 @@ class PoseRefiner:
         stride: int = 2,
         auto_roi: bool = True,
         roi_margin: float = 0.35,
+        chunk_iters: int = 8,
     ):
         self.model = Model.load(model) if isinstance(model, str) else model
         self.tris = jnp.asarray(self.model.tris[morton_order(self.model.tris)])
@@ -158,6 +162,10 @@ class PoseRefiner:
         self.auto_roi = bool(auto_roi)
         self.roi_margin = float(roi_margin)
         self.roi = (0, 0, 0, 0)
+        # ICP early-exit granularity; set >= max_iteration+1 for one fused
+        # program (best for straggler-bound batches), small for quick
+        # convergence workloads (see icp.icp_point_to_plane docs)
+        self.chunk_iters = int(chunk_iters)
 
     def _compute_roi(self, scene_depth):
         """Crop-while-rendering window around the observed object - the
@@ -270,6 +278,7 @@ class PoseRefiner:
             window=self.window,
             stride=self.stride,
             roi=self.roi,
+            chunk_iters=self.chunk_iters,
         )
         if squeeze:
             refined = refined[0]
