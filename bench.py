@@ -113,7 +113,7 @@ def main():
     compile_s = time.perf_counter() - t0
 
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         refined, results = run()
         sync((refined, results.fitness))

@@ -334,6 +334,8 @@ def rasterize_pallas(
     with small triangles) or 'stripe8' (8x128 row-stripe tiles)."""
     if variant == "tile32":
         return _rasterize_pallas_tile32(tris, poses, width, height, proj, roi, interpret)
+    if variant == "tile16":
+        return _rasterize_pallas_tile16(tris, poses, width, height, proj, roi, interpret)
     out_w, out_h = rz.roi_shape(width, height, roi)
     poses = jnp.asarray(poses, jnp.float32)
     n = poses.shape[0]
@@ -359,6 +361,124 @@ def rasterize_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((n, out_h, out_w), jnp.int32),
         scratch_shapes=[pltpu.VMEM((TILE_W, TILE_H), jnp.float32)],
+        interpret=interpret,
+    )(count, sb, bb, coef)
+    return out
+
+
+def _kernel16(count_ref, sb_ref, bb_ref, coef_ref, out_ref, acc_ref, *, height, roi, nsb, out_w):
+    """16x16-pixel subtile variant: even tighter fit to block bboxes at the
+    cost of 4x more subtile-scan overhead. Pixel packing (s, p) ->
+    (y = 8p + s//16, x = s%16); 2 passes of 128 px per subtile."""
+    ty = pl.program_id(1)
+    rx, ry = roi[0], roi[1]
+    py_top = jnp.float32(height - 1 - ry) - jnp.float32(ty * 16)
+    py_bot = py_top - 15.0
+    n_sx = -(-out_w // 16)
+
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+    x_in_tile = (s_iota % 16).astype(jnp.float32)
+    y_sub = (s_iota // 16).astype(jnp.float32)  # 8 rows per pass
+
+    for sx in range(n_sx):
+        x_lo = jnp.float32(sx * 16 + rx)
+        x_hi = x_lo + 15.0
+        px = x_lo + x_in_tile
+        py0 = py_top - y_sub  # pass p adds -8p
+
+        nhit = count_ref[0, ty, sx]
+        acc_ref[...] = jnp.full((128, 8), BIG, jnp.float32)
+
+        @pl.when(nhit > 0)
+        def _process():
+            def superblock_body(s, _):
+                s_hit = (
+                    (sb_ref[0, s, 0] <= x_hi) & (sb_ref[0, s, 2] >= x_lo)
+                    & (sb_ref[0, s, 1] <= py_top) & (sb_ref[0, s, 3] >= py_bot)
+                )
+
+                @pl.when(s_hit)
+                def _():
+                    def block_body(b, _):
+                        b_hit = (
+                            (bb_ref[0, b, 0] <= x_hi) & (bb_ref[0, b, 2] >= x_lo)
+                            & (bb_ref[0, b, 1] <= py_top) & (bb_ref[0, b, 3] >= py_bot)
+                        )
+
+                        @pl.when(b_hit)
+                        def _():
+                            off = pl.multiple_of(b * BLOCK, BLOCK)
+                            blk = coef_ref[0, :, pl.ds(off, BLOCK)]
+                            kbx, kby, kb0 = blk[0:1], blk[1:2], blk[2:3]
+                            kgx, kgy, kg0 = blk[3:4], blk[4:5], blk[5:6]
+                            ddx, ddy, dd0 = blk[6:7], blk[7:8], blk[8:9]
+                            xs, ys_ = blk[9:10], blk[10:11]
+                            xm, ym = blk[11:12], blk[12:13]
+
+                            x_ok = (px >= xs) & (px <= xm)
+                            b_beta = kbx * px + (kby * py0 + kb0)
+                            b_gamma = kgx * px + (kgy * py0 + kg0)
+                            b_denom = ddx * px + (ddy * py0 + dd0)
+
+                            for p in range(2):
+                                dy = jnp.float32(8 * p)
+                                py = py0 - dy
+                                beta = b_beta - kby * dy
+                                gamma = b_gamma - kgy * dy
+                                alpha = 1.0 - beta - gamma
+                                denom = b_denom - ddy * dy
+                                cov = (
+                                    (beta >= 0.0) & (gamma >= 0.0) & (alpha >= 0.0)
+                                    & x_ok & (py >= ys_) & (py <= ym)
+                                )
+                                depth = jnp.where(cov, 1.0 / denom, BIG)
+                                col = jnp.min(depth, axis=1, keepdims=True)
+                                acc_ref[:, p : p + 1] = jnp.minimum(
+                                    acc_ref[:, p : p + 1], col
+                                )
+
+                        return 0
+
+                    jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER, block_body, 0)
+
+                return 0
+
+            jax.lax.fori_loop(0, nsb, superblock_body, 0)
+
+        acc = acc_ref[:, 0:2]
+        fb = jnp.where(acc >= BIG, 0, jnp.trunc(acc + 0.5).astype(jnp.int32))
+        # (s = s_hi*16 + x, p) -> image (y = 8p + s_hi, x)
+        img = fb.reshape(8, 16, 2).transpose(2, 0, 1).reshape(16, 16)
+        w = min(16, out_w - sx * 16)
+        out_ref[0, :, sx * 16 : sx * 16 + w] = img[:, :w]
+
+
+def _rasterize_pallas_tile16(tris, poses, width, height, proj, roi, interpret):
+    out_w, out_h = rz.roi_shape(width, height, roi)
+    poses = jnp.asarray(poses, jnp.float32)
+    n = poses.shape[0]
+
+    coef, bb, sb = _triangle_setup(tris, poses, proj, width, height, roi)
+    count, ty, tx = _tile_counts(sb, out_h, out_w, height, roi, tile_h=16, tile_w=16)
+    nb, nsb = bb.shape[1], sb.shape[1]
+
+    kernel = functools.partial(_kernel16, height=height, roi=roi, nsb=nsb, out_w=out_w)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, ty),
+        in_specs=[
+            pl.BlockSpec((1, ty, tx), lambda n_, y: (n_, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nsb, 4), lambda n_, y: (n_, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nb, 4), lambda n_, y: (n_, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 16, coef.shape[2]), lambda n_, y: (n_, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 16, out_w), lambda n_, y: (n_, y, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, out_h, out_w), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((128, 8), jnp.float32)],
         interpret=interpret,
     )(count, sb, bb, coef)
     return out

@@ -42,3 +42,6 @@ t32 = jax.jit(lambda t, p: rp.rasterize_pallas(t, p, W, H, proj, variant="tile32
 print(f"tile32 raster 256:     {time_jitted(t32, tris, poses, iters=3)*1000:8.1f} ms", flush=True)
 s8 = jax.jit(lambda t, p: rp.rasterize_pallas(t, p, W, H, proj, variant="stripe8"))
 print(f"stripe8 raster 256:    {time_jitted(s8, tris, poses, iters=3)*1000:8.1f} ms", flush=True)
+
+t16 = jax.jit(lambda t, p: rp.rasterize_pallas(t, p, W, H, proj, variant="tile16"))
+print(f"tile16 raster 256:     {time_jitted(t16, tris, poses, iters=3)*1000:8.1f} ms", flush=True)

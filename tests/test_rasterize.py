@@ -192,3 +192,17 @@ def test_morton_order_is_permutation():
     m = mesh.make_bumpy_sphere(radius=40.0, subdivisions=3)
     perm = mesh.morton_order(m.tris)
     assert sorted(perm.tolist()) == list(range(m.n_tris))
+
+
+def test_pallas_tile16_variant(scene_setup=None):
+    # tile16 is kept as a measured variant (slower than tile32 on v5e:
+    # subtile-scan overhead beats the saved compute - PERF_NOTES.md)
+    from pose_refine_tpu.ops.rasterize_pallas import rasterize_pallas
+
+    rng = np.random.default_rng(9)
+    m = mesh.make_icosphere(radius=40.0, subdivisions=2)
+    proj = geometry.compute_proj(small_K(), W, H)
+    poses = make_poses(2, rng)
+    want = np.asarray(R.rasterize_dense(m.tris, poses, W, H, proj))
+    got = np.asarray(rasterize_pallas(m.tris, poses, W, H, proj, interpret=True, variant="tile16"))
+    assert (got != want).mean() < 1e-4
