@@ -86,3 +86,12 @@ def test_simplified_mesh_still_refines():
     )
     err = np.abs(euler - ang) / np.pi * 180.0
     assert (err < 2.0).all(), f"simplified-mesh refinement error {err} deg"
+
+
+def test_benchmark_model_fallback(monkeypatch):
+    # without the reference asset mounted, the benchmark falls back to a
+    # procedural mesh of comparable triangle count (bench must still run)
+    monkeypatch.setattr(mesh, "REFERENCE_ASSET_CANDIDATES", ("",))
+    assert mesh.find_reference_ply() is None
+    m = mesh.load_benchmark_model()
+    assert m.n_tris > 10000
