@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pose_refine_tpu.scene.kdtree import KDTree, build_kdtree
+from pose_refine_tpu.scene.kdtree import build_kdtree
 
 F32 = jax.lax.Precision.HIGHEST
 FLT_MAX = jnp.float32(3.4028235e38)
