@@ -71,15 +71,25 @@ def depth_to_cloud(depth, K, max_points: int, stride: int = 1, tl_x: int = 0, tl
     return compact_points(pts, mask, max_points)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def compact_topk(pts, valid, k: int):
-    """Scatter-free compaction: keep the first k valid points (original
-    order), via top_k over a rank key + one gather. top_k is well-optimized
-    on TPU (MoE routing); scatter is not - this replaces compact_points on
-    hot paths. Points beyond k are dropped, like compact_points."""
+@functools.partial(jax.jit, static_argnames=("k", "spread"))
+def compact_topk(pts, valid, k: int, spread: bool = True):
+    """Scatter-free compaction: keep k valid points via top_k over a rank
+    key + one gather. top_k is well-optimized on TPU (MoE routing); scatter
+    is not - this replaces compact_points on hot paths.
+
+    When more than k points are valid, ``spread=True`` ranks valid points by
+    a deterministic pseudo-random permutation (multiplicative hash) so the
+    kept subset is spatially uniform; the first-k-in-scan-order alternative
+    (spread=False, compact_points semantics) would keep only the TOP of the
+    object and bias the ICP normal equations. When nothing overflows, both
+    keep the identical (complete) valid set."""
     p = pts.shape[0]
     r = jnp.arange(p, dtype=jnp.int32)
-    key = jnp.where(valid, -r, -(p + r))  # valid first, each in index order
+    if spread:
+        rank = (r * jnp.int32(2654435761 & 0x7FFFFFFF)) % jnp.int32(p)
+    else:
+        rank = r
+    key = jnp.where(valid, -rank, -(p + r))  # all valid outrank all invalid
     _, idx = jax.lax.top_k(key, k)
     out = jnp.take(pts, idx, axis=0)
     v = jnp.take(valid, idx, axis=0)

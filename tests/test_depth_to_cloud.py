@@ -88,3 +88,33 @@ def test_window_cloud_empty_depth():
     depth = np.zeros((120, 160), np.int32)
     pts, valid, n = window_cloud(depth, K, window=64, stride=1)
     assert int(n) == 0 and not np.asarray(valid).any()
+
+
+def test_compact_topk_keeps_all_when_fits(rng):
+    from pose_refine_tpu.ops.depth_to_cloud import compact_topk
+
+    pts = rng.normal(size=(1000, 3)).astype(np.float32)
+    valid = rng.random(1000) > 0.5
+    out, v, n = compact_topk(pts, valid, k=600)
+    assert int(n) == valid.sum()
+    got = set(map(tuple, np.asarray(out)[np.asarray(v)]))
+    want = set(map(tuple, pts[valid]))
+    assert got == want  # no point lost or invented
+
+
+def test_compact_topk_overflow_is_spatially_spread(rng):
+    from pose_refine_tpu.ops.depth_to_cloud import compact_topk
+
+    # valid points fill the whole array; keep half
+    p = 4096
+    pts = np.stack([np.arange(p), np.zeros(p), np.zeros(p)], axis=1).astype(np.float32)
+    valid = np.ones(p, bool)
+    out, v, n = compact_topk(pts, valid, k=2048, spread=True)
+    kept = np.sort(np.asarray(out)[np.asarray(v)][:, 0])
+    # spread selection: kept indices cover the full range, not just the head
+    assert kept.min() < p * 0.05 and kept.max() > p * 0.95
+    assert np.median(kept) > p * 0.25 and np.median(kept) < p * 0.75
+    # non-spread keeps exactly the head (compact_points semantics)
+    out2, v2, _ = compact_topk(pts, valid, k=2048, spread=False)
+    kept2 = np.sort(np.asarray(out2)[np.asarray(v2)][:, 0])
+    np.testing.assert_array_equal(kept2, np.arange(2048).astype(np.float32))
