@@ -52,7 +52,7 @@ def refine_poses_sharded(
     criteria: icp.ICPConvergenceCriteria = icp.ICPConvergenceCriteria(),
     mesh: Optional[Mesh] = None,
     axis: str = "dp",
-    use_pallas: bool = False,
+    use_pallas: Optional[bool] = None,
 ):
     """Data-parallel refine: the fused render->cloud->ICP program with the
     pose axis sharded over the mesh. Returns (refined poses, results), both
@@ -61,6 +61,8 @@ def refine_poses_sharded(
 
     if mesh is None:
         mesh = make_mesh(axis=axis)
+    if use_pallas is None:  # pallas on real chips, XLA fallback on CPU dryruns
+        use_pallas = jax.default_backend() != "cpu"
 
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(axis))
