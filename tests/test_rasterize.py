@@ -206,3 +206,26 @@ def test_pallas_tile16_variant(scene_setup=None):
     want = np.asarray(R.rasterize_dense(m.tris, poses, W, H, proj))
     got = np.asarray(rasterize_pallas(m.tris, poses, W, H, proj, interpret=True, variant="tile16"))
     assert (got != want).mean() < 1e-4
+
+
+def test_obj06_cpp_baseline_bit_parity():
+    """Full-frame obj_06 @640x480: the jitted scatter rasterizer and the
+    native C++ baseline implement the same arithmetic - expect bit equality
+    (the reference asserted exact CPU==CUDA equality the same way,
+    cuda_renderer/test.cpp:94-106)."""
+    from pose_refine_tpu import native
+
+    path = mesh.find_reference_ply()
+    if path is None:
+        pytest.skip("reference obj_06.ply not mounted")
+    if not native.native_available():
+        pytest.skip("g++ unavailable")
+    m = mesh.Model.load(path, verbose=False)
+    K = geometry.LINEMOD_K
+    proj = geometry.compute_proj(K, 640, 480)
+    rng = np.random.default_rng(3)
+    poses = make_poses(2, rng, z=350.0)
+    a = np.asarray(R.rasterize_scatter(m.tris, poses, 640, 480, proj, window=8))
+    b = native.cpu_render_baseline(m.tris, poses, np.asarray(proj), 640, 480)
+    mismatch = (a != b).mean()
+    assert mismatch < 1e-5, f"{(a != b).sum()} pixels differ"
