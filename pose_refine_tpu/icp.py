@@ -187,7 +187,10 @@ def icp_point_to_plane(
         x = _solve_damped(AtA, Atb)
         upd = geometry.twist_to_mat4(x)
         new_cloud = geometry.transform_points(upd, s.cloud)
-        new_T = upd @ s.T
+        # full-f32 composition: the default matmul precision drops to bf16 on
+        # TPU, and the error compounds over up to 31 left-compositions
+        # straight into the returned pose (geometry.py:20-23 rationale)
+        new_T = jnp.matmul(upd, s.T, precision=F32)
 
         # no solve/update on the terminating pass (icp.cpp:162-166); once
         # done, freeze everything including the scores

@@ -73,7 +73,9 @@ struct Builder {
         for (int d = 1; d < 3; ++d) {
           if (hi[d] - lo[d] > span) { span = hi[d] - lo[d]; dim = d; }
         }
-        const double mid = (static_cast<double>(lo[dim]) + hi[dim]) / 2.0;
+        // float arithmetic to bit-match the numpy builder and the reference
+        // (pcd_scene.cpp computes the midpoint in float)
+        const float mid = (lo[dim] + hi[dim]) / 2.0f;
 
         // stable partition with alternating ties; right side reversed
         int li = left, ri = right - 1;
@@ -106,8 +108,7 @@ struct Builder {
         child[2 * node] = c1;
         child[2 * node + 1] = c2;
         split_dim[node] = dim;
-        split_v[node] =
-            static_cast<float>((static_cast<double>(split_low) + split_high) / 2.0);
+        split_v[node] = (split_low + split_high) / 2.0f;
         float* bb = bbox + 6 * node;
         bb[0] = lo[0]; bb[1] = hi[0];
         bb[2] = lo[1]; bb[3] = hi[1];

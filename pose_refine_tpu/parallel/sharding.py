@@ -57,17 +57,39 @@ def refine_poses_sharded(
     """Data-parallel refine: the fused render->cloud->ICP program with the
     pose axis sharded over the mesh. Returns (refined poses, results), both
     sharded over the pose axis."""
-    from pose_refine_tpu.pipeline import refine_poses_jit
-
     if mesh is None:
         mesh = make_mesh(axis=axis)
     if use_pallas is None:  # pallas on real chips, XLA fallback on CPU dryruns
         use_pallas = jax.default_backend() != "cpu"
 
+    fn = _sharded_refine_fn(
+        mesh,
+        axis,
+        width,
+        height,
+        max_points,
+        criteria,
+        use_pallas,
+        jax.tree.structure(scene),
+    )
+    poses_sharded = shard_pose_batch(mesh, init_poses, axis)
+    tris = jnp.asarray(tris, jnp.float32)
+    return fn(tris, poses_sharded, scene, jnp.asarray(proj), jnp.asarray(K, jnp.float32))
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_refine_fn(
+    mesh, axis, width, height, max_points, criteria, use_pallas, scene_treedef
+):
+    """Build (and cache) the jitted sharded program. Cached on the static
+    configuration so repeated refine_poses_sharded calls reuse one jit
+    wrapper - a fresh jax.jit object per call would re-trace every time."""
+    from pose_refine_tpu.pipeline import refine_poses_jit
+
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(axis))
 
-    fn = jax.jit(
+    return jax.jit(
         functools.partial(
             refine_poses_jit,
             width=width,
@@ -79,7 +101,9 @@ def refine_poses_sharded(
         in_shardings=(
             repl,                                        # tris
             NamedSharding(mesh, P(axis, None, None)),    # poses
-            jax.tree.map(lambda _: repl, scene),         # scene pytree
+            jax.tree.unflatten(
+                scene_treedef, [repl] * scene_treedef.num_leaves
+            ),                                           # scene pytree
             repl,                                        # proj
             repl,                                        # K
         ),
@@ -92,6 +116,3 @@ def refine_poses_sharded(
             ),
         ),
     )
-    poses_sharded = shard_pose_batch(mesh, init_poses, axis)
-    tris = jnp.asarray(tris, jnp.float32)
-    return fn(tris, poses_sharded, scene, jnp.asarray(proj), jnp.asarray(K, jnp.float32))

@@ -98,7 +98,9 @@ def refine_poses_jit(
             return pts, v, n
     else:
         def one_lift(d):
-            pts, mask = depth_image_to_points(d, K)
+            # the rendered depth is an ROI crop when roi is set; unproject
+            # with the crop origin so pixel (0,0) maps to image (roi_x, roi_y)
+            pts, mask = depth_image_to_points(d, K, tl_x=roi[0], tl_y=roi[1])
             return compact_points(pts, mask, max_points)
 
     clouds, valids, _n = jax.vmap(one_lift)(depth)
@@ -113,7 +115,7 @@ def refine_poses_jit(
     # common.h:53); poses carry mm translations, so scale t_icp back to mm
     # before left-composing onto the model->camera pose.
     T_mm = results.transformation.at[:, :3, 3].multiply(1000.0)
-    refined = T_mm @ init_poses
+    refined = jnp.matmul(T_mm, init_poses, precision=jax.lax.Precision.HIGHEST)
     return refined, results
 
 
@@ -224,6 +226,7 @@ class PoseRefiner:
         init_poses,
         criteria: icp.ICPConvergenceCriteria = icp.ICPConvergenceCriteria(),
         schedule=None,
+        _scene=None,
     ):
         """(N, 4, 4) hypotheses -> (refined (N, 4, 4), RegistrationResult).
 
@@ -233,7 +236,8 @@ class PoseRefiner:
         inlier gate; a loose first gate widens the convergence basin, a tight
         last gate sharpens the result. (Beyond-parity feature; the reference
         has one fixed 0.1 m gate, depth_scene.h:9.)"""
-        assert self.scene is not None, "set_scene_depth / set_scene_cloud first"
+        scene = _scene if _scene is not None else self.scene
+        assert scene is not None, "set_scene_depth / set_scene_cloud first"
         init_arr = np.asarray(init_poses)
         if init_arr.shape[-2:] != (4, 4):
             raise ValueError(
@@ -244,20 +248,15 @@ class PoseRefiner:
         if schedule:
             poses = init_poses
             for max_dist, iters in schedule:
-                level_scene = _scene_with_gate(self.scene, max_dist)
-                saved = self.scene
-                self.scene = level_scene
-                try:
-                    poses, results = self.refine(
-                        poses,
-                        criteria=icp.ICPConvergenceCriteria(
-                            criteria.relative_fitness,
-                            criteria.relative_rmse,
-                            int(iters),
-                        ),
-                    )
-                finally:
-                    self.scene = saved
+                poses, results = self.refine(
+                    poses,
+                    criteria=icp.ICPConvergenceCriteria(
+                        criteria.relative_fitness,
+                        criteria.relative_rmse,
+                        int(iters),
+                    ),
+                    _scene=_scene_with_gate(scene, max_dist),
+                )
             return poses, results
         init_poses = jnp.asarray(init_poses, jnp.float32)
         squeeze = init_poses.ndim == 2
@@ -266,7 +265,7 @@ class PoseRefiner:
         refined, results = refine_poses_jit(
             self.tris,
             init_poses,
-            self.scene,
+            scene,
             self.proj,
             jnp.asarray(self.K),
             self.width,

@@ -65,10 +65,12 @@ class SceneNN:
         backend: str = "kdtree",
     ) -> "SceneNN":
         tree = build_kdtree(np.asarray(points), np.asarray(normals), leaf_size)
-        # static bound on traversal length: ~2 edges per node visit on the
-        # descend+backtrack walk of a balanced tree, clamped generously
-        depth_bound = 2 * int(np.ceil(np.log2(max(tree.n_nodes, 2)))) + 2
-        max_steps = min(8 * tree.n_nodes, 64 * depth_bound)
+        # provably sufficient traversal bound: the descend+backtrack walk is a
+        # pruned DFS in which each node is `cur` at most 3 times (first entry,
+        # backtrack from each child), so 3*n_nodes+2 can never truncate - the
+        # while_loop exits on cur<0 long before this in practice, and the cap
+        # costs nothing (while_loop work is data-dependent, not bound-bound)
+        max_steps = 3 * tree.n_nodes + 2
         from pose_refine_tpu.scene.nn_pallas import pack_scene
 
         pts = jnp.asarray(tree.points)
