@@ -145,12 +145,27 @@ class PoseRefiner:
         auto_roi: bool = True,
         roi_margin: float = 0.35,
         chunk_iters: int = 8,
+        render_scale: int = 1,
     ):
         self.model = Model.load(model) if isinstance(model, str) else model
         self.tris = jnp.asarray(self.model.tris[morton_order(self.model.tris)])
         self.K = np.asarray(K, np.float32)
         self.width, self.height = int(width), int(height)
         self.proj = geometry.compute_proj(self.K, self.width, self.height)
+        # render_scale: render hypotheses at width/s x height/s - the
+        # reference's down_sample knob (pose_renderer.cpp:28-29) applied
+        # inside the refinement loop. The NDC projection is scale-invariant
+        # (compute_proj(K/s, W/s, H/s) == compute_proj(K, W, H), tested), so
+        # only the raster size and the lift intrinsics change; the observed
+        # scene keeps full sensor resolution. window/stride/roi are in
+        # RENDER pixels.
+        self.render_scale = int(render_scale)
+        if width % self.render_scale or height % self.render_scale:
+            raise ValueError("render_scale must divide width and height")
+        self.render_w = self.width // self.render_scale
+        self.render_h = self.height // self.render_scale
+        self.K_render = self.K.copy()
+        self.K_render[:2] /= self.render_scale
         self.max_points = int(max_points)
         self.max_dist_diff = float(max_dist_diff)
         self.scene_kind = scene
@@ -159,9 +174,10 @@ class PoseRefiner:
             use_pallas = jax.default_backend() != "cpu"
         self.use_pallas = bool(use_pallas)
         self.lift = lift
-        self.window = int(min(window, width, height))
+        self.window = int(min(window, self.render_w, self.render_h))
         self.stride = int(stride)
         self.auto_roi = bool(auto_roi)
+        self._obj_extent_px = 0
         self.roi_margin = float(roi_margin)
         self.roi = (0, 0, 0, 0)
         # ICP early-exit granularity; set >= max_iteration+1 for one fused
@@ -172,20 +188,25 @@ class PoseRefiner:
     def _compute_roi(self, scene_depth):
         """Crop-while-rendering window around the observed object - the
         reference's ROI mechanism (renderer.h:199-202) made automatic.
-        Aligned to the Pallas kernel's (8, 128) framebuffer tiles."""
+        Returned in RENDER pixels, aligned to the Pallas kernel's (8, 128)
+        framebuffer tiles."""
         d = np.asarray(scene_depth)
         ys, xs = np.nonzero(d > 0)
         if len(xs) == 0:
+            self._obj_extent_px = 0
             return (0, 0, 0, 0)
-        mx = int(self.roi_margin * max(xs.max() - xs.min(), ys.max() - ys.min())) + 16
-        x0 = max(int(xs.min()) - mx, 0)
-        y0 = max(int(ys.min()) - mx, 0)
-        x1 = min(int(xs.max()) + mx, self.width)
-        y1 = min(int(ys.max()) + mx, self.height)
-        w = min(-(-(x1 - x0) // 128) * 128, self.width)
-        h = min(-(-(y1 - y0) // 8) * 8, self.height)
-        x0 = min(x0, self.width - w)
-        y0 = min(y0, self.height - h)
+        s = self.render_scale
+        self._obj_extent_px = int(max(xs.max() - xs.min(), ys.max() - ys.min())) // s
+        rw, rh = self.render_w, self.render_h
+        mx = int(self.roi_margin * self._obj_extent_px) + 16
+        x0 = max(int(xs.min()) // s - mx, 0)
+        y0 = max(int(ys.min()) // s - mx, 0)
+        x1 = min(int(xs.max()) // s + mx, rw)
+        y1 = min(int(ys.max()) // s + mx, rh)
+        w = min(-(-(x1 - x0) // 128) * 128, rw)
+        h = min(-(-(y1 - y0) // 8) * 8, rh)
+        x0 = min(x0, rw - w)
+        y0 = min(y0, rh - h)
         return (x0, y0, w, h)
 
     def set_scene_depth(self, scene_depth):
@@ -193,7 +214,18 @@ class PoseRefiner:
         Happens once per frame (SURVEY.md 3.3), not per ICP iteration."""
         if self.auto_roi:
             self.roi = self._compute_roi(scene_depth)
-            logger.info("auto ROI (x, y, w, h) = %s", self.roi)
+            logger.info("auto ROI (x, y, w, h) = %s (render px)", self.roi)
+            # no silent caps: the window lift keeps a window x stride
+            # neighborhood around the rendered object; an object bigger than
+            # that loses points without this check
+            cover = self.window * self.stride
+            if self.lift == "window" and self._obj_extent_px > cover:
+                logger.warning(
+                    "object extent ~%d render px exceeds the window lift "
+                    "coverage %d px (window=%d x stride=%d): points will be "
+                    "cropped. Enlarge window/stride or use lift='compact'.",
+                    self._obj_extent_px, cover, self.window, self.stride,
+                )
         if self.scene_kind == "projective":
             self.scene = SceneProjective.from_depth(
                 scene_depth, self.K, self.max_dist_diff
@@ -267,9 +299,9 @@ class PoseRefiner:
             init_poses,
             scene,
             self.proj,
-            jnp.asarray(self.K),
-            self.width,
-            self.height,
+            jnp.asarray(self.K_render),
+            self.render_w,
+            self.render_h,
             self.max_points,
             criteria,
             self.use_pallas,

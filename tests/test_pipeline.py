@@ -121,3 +121,42 @@ def test_refine_schedule_widens_basin(setup):
     # the schedule must do at least as well, and actually converge
     assert rot_err(sched) <= rot_err(single) + 1e-3
     assert rot_err(sched) < 5.0, f"schedule failed to converge: {rot_err(sched)} deg"
+
+
+def test_refiner_render_scale(setup):
+    """render_scale=2 (the reference's down_sample knob inside the loop,
+    pose_renderer.cpp:28-29) must recover like full-res rendering."""
+    m, K = setup
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    scene_depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+
+    refiner = prt.PoseRefiner(
+        m, K=K, width=W, height=H, max_points=4096, use_pallas=False,
+        render_scale=2, window=64, stride=1,
+    )
+    refiner.set_scene_depth(scene_depth)
+    refined, results = refiner.refine(pose1)
+    R_err = np.asarray(refined)[:3, :3] @ pose2[:3, :3].T
+    ang_err = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+    assert ang_err < 4.0, f"render_scale=2 rotation off by {ang_err} deg"
+    t_err = np.abs(np.asarray(refined)[:3, 3] - pose2[:3, 3]).max()
+    assert t_err < 6.0, f"render_scale=2 translation off by {t_err} mm"
+    assert float(results.fitness) > 0.7
+
+
+def test_window_crop_warning(setup, caplog):
+    """No silent caps: a window lift too small for the object must warn."""
+    import logging
+
+    m, K = setup
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    scene_depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+    refiner = prt.PoseRefiner(
+        m, K=K, width=W, height=H, max_points=1024, use_pallas=False,
+        window=16, stride=1,
+    )
+    with caplog.at_level(logging.WARNING, logger="pose_refine_tpu"):
+        refiner.set_scene_depth(scene_depth)
+    assert any("cropped" in rec.message for rec in caplog.records)
