@@ -44,6 +44,7 @@ class SceneNN:
     normals: jnp.ndarray     # (P, 3) float32
     table: jnp.ndarray       # (P, 8) float32 [pcd xyz, normal xyz, 0, 0] - one-gather result lookup
     flash_table: jnp.ndarray  # (8, P_pad) field-major [x,y,z,|s|^2] for the flash-NN kernel
+    flash_boxes: jnp.ndarray  # (P_pad/128, 8) per-chunk bboxes (gated kernel pruning)
     parent: jnp.ndarray      # (M,) int32
     child: jnp.ndarray       # (M, 2) int32
     split_dim: jnp.ndarray   # (M,) int32
@@ -71,18 +72,20 @@ class SceneNN:
         # while_loop exits on cur<0 long before this in practice, and the cap
         # costs nothing (while_loop work is data-dependent, not bound-bound)
         max_steps = 3 * tree.n_nodes + 2
-        from pose_refine_tpu.scene.nn_pallas import pack_scene
+        from pose_refine_tpu.scene.nn_pallas import chunk_boxes, pack_scene
 
         pts = jnp.asarray(tree.points)
         nrm = jnp.asarray(tree.normals)
         packed = jnp.concatenate(
             [pts, nrm, jnp.zeros((pts.shape[0], 2), jnp.float32)], axis=1
         )
+        flash_table = pack_scene(pts)
         return cls(
             points=pts,
             normals=nrm,
             table=packed,
-            flash_table=pack_scene(pts),
+            flash_table=flash_table,
+            flash_boxes=chunk_boxes(flash_table),
             parent=jnp.asarray(tree.parent),
             child=jnp.asarray(tree.child),
             split_dim=jnp.asarray(tree.split_dim),
@@ -119,9 +122,14 @@ class SceneNN:
             if jax.default_backend() == "cpu":
                 idx, dist_sq = _nn_bruteforce(src, self.points)
             else:
-                from pose_refine_tpu.scene.nn_pallas import nn_flash_packed
+                # gate-pruned flash kernel: skips scene chunks farther than
+                # max_dist_diff from the query tile - exact at this level
+                # because the gate below rejects such neighbors anyway
+                from pose_refine_tpu.scene.nn_pallas import nn_flash_gated
 
-                idx, dist_sq = nn_flash_packed(src, self.flash_table)
+                idx, dist_sq = nn_flash_gated(
+                    src, self.flash_table, self.flash_boxes, self.max_dist_diff
+                )
         elif self.backend == "flash":
             from pose_refine_tpu.scene.nn_pallas import nn_flash_packed
 

@@ -33,7 +33,9 @@ IBIG = 2**30
 
 def pack_scene(scene_pts) -> jnp.ndarray:
     """(S, 3) points -> (8, S_pad) field-major [x, y, z, |s|^2] VMEM table.
-    Padded entries carry |s|^2 = BIG so they never win the min."""
+    Padded entries carry |s|^2 = BIG so they never win the min; their coords
+    repeat the last real point so per-chunk bounding boxes stay tight (the
+    gated kernel prunes on them)."""
     s = jnp.asarray(scene_pts, jnp.float32)
     ns = s.shape[0]
     spad = (-ns) % S_CHUNK
@@ -41,13 +43,27 @@ def pack_scene(scene_pts) -> jnp.ndarray:
     stab = jnp.concatenate([s, ssq, jnp.zeros((ns, 4), jnp.float32)], axis=1)
     if spad:
         pad_rows = jnp.concatenate(
-            [jnp.zeros((spad, 3), jnp.float32),
+            [jnp.broadcast_to(s[-1:], (spad, 3)),
              jnp.full((spad, 1), BIG, jnp.float32),
              jnp.zeros((spad, 4), jnp.float32)],
             axis=1,
         )
         stab = jnp.concatenate([stab, pad_rows], axis=0)
     return stab.T  # (8, S_pad)
+
+
+def chunk_boxes(scene_table) -> jnp.ndarray:
+    """Per-S_CHUNK bounding boxes of a pack_scene table.
+
+    (8, S_pad) -> (Nc, 8) f32 [xlo, ylo, zlo, 0, xhi, yhi, zhi, 0]. The
+    kd-build reorder (scene/kdtree.py) makes index-contiguous chunks
+    spatially tight, exactly like mesh.morton_order does for the raster
+    kernel's triangle blocks."""
+    pts = scene_table[:3].reshape(3, -1, S_CHUNK)  # (3, Nc, C)
+    lo = pts.min(axis=2).T  # (Nc, 3)
+    hi = pts.max(axis=2).T
+    z = jnp.zeros((lo.shape[0], 1), jnp.float32)
+    return jnp.concatenate([lo, z, hi, z], axis=1)
 
 
 def _kernel(scene_ref, q_ref, idx_ref, dist_ref):
@@ -121,3 +137,121 @@ def nn_flash_packed(queries, scene_table, interpret: bool = False):
 def nn_flash(queries, scene_pts, interpret: bool = False):
     """Convenience wrapper packing the scene on the fly."""
     return nn_flash_packed(queries, pack_scene(scene_pts), interpret=interpret)
+
+
+# ---------------------------------------------------------------- gated NN
+
+GQ_TILE = 512  # queries per grid step for the gated kernel (tighter tile
+               # bboxes prune more chunks than the plain kernel's 1024)
+
+
+def _kernel_gated(gate_ref, boxes_ref, scene_ref, q_ref, idx_ref, dist_ref,
+                  best_ref, bchunk_ref):
+    """Flash-NN with chunk-level bbox pruning against the association gate.
+
+    The reference query accepts a neighbor only if dist^2 < max_dist_diff^2
+    (pcd_scene.h:127), so a scene chunk whose bbox is farther than the gate
+    from the whole query tile can never influence the ACCEPTED result -
+    skipping it is exact at the Scene.query level. This is the TPU answer
+    to the reference's kd-tree pruning (SURVEY step-5 fallback): work scales
+    with the scene actually near the object, not total scene size, while
+    control flow stays a predicated dense scan (no divergent traversal).
+    """
+    qx = q_ref[:, 0:1]
+    qy = q_ref[:, 1:2]
+    qz = q_ref[:, 2:3]
+    # tile bbox (padded query rows repeat a real query, so the bbox is tight)
+    qlo_x, qhi_x = jnp.min(q_ref[:, 0]), jnp.max(q_ref[:, 0])
+    qlo_y, qhi_y = jnp.min(q_ref[:, 1]), jnp.max(q_ref[:, 1])
+    qlo_z, qhi_z = jnp.min(q_ref[:, 2]), jnp.max(q_ref[:, 2])
+    gate2 = gate_ref[0, 0]
+    n_chunks = scene_ref.shape[1] // S_CHUNK
+
+    best_ref[...] = jnp.full((GQ_TILE, S_CHUNK), BIG, jnp.float32)
+    bchunk_ref[...] = jnp.zeros((GQ_TILE, S_CHUNK), jnp.int32)
+
+    def body(c, _):
+        dx = jnp.maximum(jnp.maximum(boxes_ref[c, 0] - qhi_x, qlo_x - boxes_ref[c, 4]), 0.0)
+        dy = jnp.maximum(jnp.maximum(boxes_ref[c, 1] - qhi_y, qlo_y - boxes_ref[c, 5]), 0.0)
+        dz = jnp.maximum(jnp.maximum(boxes_ref[c, 2] - qhi_z, qlo_z - boxes_ref[c, 6]), 0.0)
+        reachable = dx * dx + dy * dy + dz * dz <= gate2
+
+        @pl.when(reachable)
+        def _():
+            off = pl.multiple_of(c * S_CHUNK, S_CHUNK)
+            sx = scene_ref[0:1, pl.ds(off, S_CHUNK)]
+            sy = scene_ref[1:2, pl.ds(off, S_CHUNK)]
+            sz = scene_ref[2:3, pl.ds(off, S_CHUNK)]
+            ss = scene_ref[3:4, pl.ds(off, S_CHUNK)]
+            score = ss - 2.0 * (qx * sx + qy * sy + qz * sz)
+            better = score < best_ref[...]  # strict: earlier chunk keeps ties
+            best_ref[...] = jnp.where(better, score, best_ref[...])
+            bchunk_ref[...] = jnp.where(better, c, bchunk_ref[...])
+
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    best = best_ref[...]
+    bchunk = bchunk_ref[...]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (GQ_TILE, S_CHUNK), 1)
+    row_min = jnp.min(best, axis=1, keepdims=True)
+    gidx = jnp.where(best == row_min, bchunk * S_CHUNK + lane, IBIG)
+    idx_ref[...] = jnp.minimum(jnp.min(gidx, axis=1, keepdims=True), IBIG - 1)
+    qq = q_ref[:, 3:4]
+    dist_ref[...] = jnp.where(
+        row_min >= BIG, BIG, jnp.maximum(row_min + qq, 0.0)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nn_flash_gated(queries, scene_table, boxes, max_dist, interpret: bool = False):
+    """Gate-exact NN: identical to nn_flash_packed for every query whose true
+    NN lies within max_dist; queries with no scene point inside the gate get
+    dist_sq = BIG (invalid under the gate either way).
+
+    queries (..., 3), scene_table from pack_scene, boxes from chunk_boxes,
+    max_dist the association gate in meters (scalar, traced OK).
+    """
+    q = jnp.asarray(queries, jnp.float32)
+    flat = q.reshape(-1, 3)
+    nq = flat.shape[0]
+    qpad = (-nq) % GQ_TILE
+    qsq = jnp.sum(flat * flat, axis=-1, keepdims=True)
+    qtab = jnp.concatenate([flat, qsq, jnp.zeros((nq, 4), jnp.float32)], axis=1)
+    if qpad:
+        qtab = jnp.concatenate([qtab, jnp.broadcast_to(qtab[-1:], (qpad, 8))], axis=0)
+
+    gate2 = jnp.reshape(
+        jnp.asarray(max_dist, jnp.float32) * jnp.asarray(max_dist, jnp.float32),
+        (1, 1),
+    )
+    grid = (qtab.shape[0] // GQ_TILE,)
+    idx, dist = pl.pallas_call(
+        _kernel_gated,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (boxes.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (8, scene_table.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((GQ_TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((GQ_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GQ_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((qtab.shape[0], 1), jnp.int32),
+            jax.ShapeDtypeStruct((qtab.shape[0], 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((GQ_TILE, S_CHUNK), jnp.float32),
+            pltpu.VMEM((GQ_TILE, S_CHUNK), jnp.int32),
+        ],
+        interpret=interpret,
+    )(gate2, boxes, scene_table, qtab)
+    return idx[:nq, 0].reshape(q.shape[:-1]), dist[:nq, 0].reshape(q.shape[:-1])

@@ -82,3 +82,32 @@ def test_viz_helpers(tmp_path):
     assert (tmp_path / "d.ppm").stat().st_size > 100
     art = viz.ascii_depth(depth)
     assert "#" in art or "o" in art
+
+
+def test_nn_flash_gated_matches_plain_within_gate():
+    """The gate-pruned flash kernel must equal plain flash-NN for every
+    query whose true NN lies within the gate, and must report an
+    out-of-gate distance whenever plain flash does (identical Scene.query
+    results either way)."""
+    import jax.numpy as jnp
+
+    from pose_refine_tpu.scene.nn_pallas import (
+        chunk_boxes, nn_flash_gated, nn_flash_packed, pack_scene,
+    )
+
+    rng = np.random.default_rng(11)
+    S = (rng.normal(size=(5000, 3)) * 0.1).astype(np.float32)
+    S = S[np.lexsort((S[:, 0], S[:, 1], S[:, 2]))]  # spatially coherent order
+    Q = (rng.normal(size=(1500, 3)) * 0.1).astype(np.float32)
+    table = pack_scene(S)
+    boxes = chunk_boxes(table)
+    gate = 0.05
+
+    i0, d0 = nn_flash_packed(Q, table, interpret=True)
+    i1, d1 = nn_flash_gated(Q, table, boxes, gate, interpret=True)
+    i0, d0, i1, d1 = map(np.asarray, (i0, d0, i1, d1))
+    inside = d0 < gate * gate
+    assert inside.any() and not inside.all()  # test covers both populations
+    np.testing.assert_array_equal(i0[inside], i1[inside])
+    np.testing.assert_array_equal(d0[inside], d1[inside])
+    assert (d1[~inside] >= gate * gate).all()
