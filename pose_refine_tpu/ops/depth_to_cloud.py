@@ -143,3 +143,55 @@ def window_cloud(depth, K, window: int = 256, stride: int = 2,
         axis=-1,
     ).reshape(-1, 3)
     return pts, valid, jnp.sum(valid)
+
+
+def window_cloud_batched(depth, K, window: int = 256, stride: int = 2,
+                         tl_x: int = 0, tl_y: int = 0):
+    """window_cloud over a (N, H, W) depth batch as ONE batched gather.
+
+    Identical semantics to vmap(window_cloud) but the per-pose
+    dynamic-slice + stride extraction becomes a single
+    take_along_axis of (window/stride)^2 pixels per pose - gathers are
+    row-count-bound on TPU (~200M rows/s) so N x 4k rows is ~5 ms where the
+    vmapped slice formulation measured ~70 ms at batch 256.
+
+    Returns (points (N, (window/stride)^2, 3), valid (N, P), n_valid (N,)).
+    """
+    depth = jnp.asarray(depth)
+    n, h, w = depth.shape
+    K = jnp.asarray(K, jnp.float32)
+    win_h, win_w = min(window, h), min(window, w)
+    mask = depth > 0
+
+    rows = jnp.any(mask, axis=2)  # (N, H)
+    cols = jnp.any(mask, axis=1)  # (N, W)
+    ridx = jnp.arange(h)[None, :]
+    cidx = jnp.arange(w)[None, :]
+    r0 = jnp.min(jnp.where(rows, ridx, h), axis=1)
+    r1 = jnp.max(jnp.where(rows, ridx, -1), axis=1)
+    c0 = jnp.min(jnp.where(cols, cidx, w), axis=1)
+    c1 = jnp.max(jnp.where(cols, cidx, -1), axis=1)
+    cy = jnp.clip((r0 + r1) // 2 - window // 2, 0, max(h - window, 0))  # (N,)
+    cx = jnp.clip((c0 + c1) // 2 - window // 2, 0, max(w - window, 0))
+
+    dy = jnp.arange(0, win_h, stride)
+    dx = jnp.arange(0, win_w, stride)
+    yy = cy[:, None] + dy[None, :]              # (N, sh)
+    xx = cx[:, None] + dx[None, :]              # (N, sw)
+    lin = (yy[:, :, None] * w + xx[:, None, :]).reshape(n, -1)  # (N, sh*sw)
+    sub = jnp.take_along_axis(depth.reshape(n, -1), lin, axis=1)  # (N, P)
+
+    u = (tl_x + xx).astype(jnp.float32)          # (N, sw)
+    v = (tl_y + yy).astype(jnp.float32)          # (N, sh)
+    sh, sw = len(dy), len(dx)
+    uu = jnp.broadcast_to(u[:, None, :], (n, sh, sw)).reshape(n, -1)
+    vv = jnp.broadcast_to(v[:, :, None], (n, sh, sw)).reshape(n, -1)
+    z = sub.astype(jnp.float32) / 1000.0
+    x = (uu - K[0, 2]) / K[0, 0] * z
+    y = (vv - K[1, 2]) / K[1, 1] * z
+    valid = sub > 0
+    pts = jnp.stack(
+        [jnp.where(valid, x, 0.0), jnp.where(valid, y, 0.0), jnp.where(valid, z, 0.0)],
+        axis=-1,
+    )
+    return pts, valid, jnp.sum(valid, axis=1)

@@ -74,6 +74,42 @@ def screen_triangles(tris, poses, proj, width: int, height: int):
     return jnp.stack([sx, sy], axis=-1), zcam
 
 
+def screen_fields(tris, poses, proj, width: int, height: int):
+    """screen_triangles in lane-major field layout: nine (N, T) arrays
+    (ax, ay, bx, by, cx, cy, z0, z1, z2) instead of (N, T, 3, 2)+(N, T, 3).
+
+    Same arithmetic as screen_triangles (same 3-term contractions, same add
+    and divide order) - only the memory layout differs. The (..., 3, 2)
+    trailing dims of the stacked form pad to (8, 128) vector tiles on TPU,
+    a ~50x layout bloat that made the vertex transform HBM-bound; here the
+    triangle axis stays on lanes throughout.
+    """
+    tris = jnp.asarray(tris, jnp.float32)
+    poses = jnp.asarray(poses, jnp.float32)
+    proj = jnp.asarray(proj, jnp.float32)
+    f32 = jax.lax.Precision.HIGHEST
+    R = poses[:, :3, :3]
+    t = poses[:, :3, 3]
+    half_w, half_h = width / 2.0, height / 2.0
+
+    out = []
+    for v in range(3):
+        tv = tris[:, v, :]  # (T, 3)
+        cam = jnp.einsum("nij,tj->nit", R, tv, precision=f32) + t[:, :, None]
+        z = cam[:, 2]  # (N, T)
+        px = (
+            jnp.einsum("j,njt->nt", proj[0, :3], cam, precision=f32) + proj[0, 3]
+        )
+        py = (
+            jnp.einsum("j,njt->nt", proj[1, :3], cam, precision=f32) + proj[1, 3]
+        )
+        sx = px / z * half_w + half_w
+        sy = py / z * half_h + half_h
+        out.append((sx, sy, z))
+    (ax, ay, z0), (bx, by, z1), (cx, cy, z2) = out
+    return ax, ay, bx, by, cx, cy, z0, z1, z2
+
+
 def _clamp_bounds(width: int, height: int, roi: ROI):
     """Pixel clamp window in the flipped-y P coordinate space
     (renderer.cu:103-113)."""

@@ -59,16 +59,21 @@ def _triangle_setup(tris, poses, proj, width: int, height: int, roi):
              x_start = trunc(clamped_bbmin + 0.5), renderer.cu:124-125)
     bb (N, NB, 4) block union bboxes, sb (N, NSB, 4) superblock unions.
     """
-    pts2, zcam = rz.screen_triangles(tris, poses, proj, width, height)
-    n, t = pts2.shape[:2]
+    fields = rz.screen_fields(tris, poses, proj, width, height)
+    n, t = fields[0].shape
     pad = (-t) % (BLOCK * SUPER)
     if pad:
-        pts2 = jnp.concatenate([pts2, jnp.zeros((n, pad, 3, 2), pts2.dtype)], axis=1)
-        zcam = jnp.concatenate([zcam, jnp.ones((n, pad, 3), zcam.dtype)], axis=1)
+        # degenerate padding: coords 0 (zero area -> every test fails below),
+        # z 1 (no div-by-zero)
+        def _pad(a, fill):
+            return jnp.concatenate(
+                [a, jnp.full((n, pad), fill, a.dtype)], axis=1
+            )
 
-    ax, ay = pts2[..., 0, 0], pts2[..., 0, 1]
-    bx, by = pts2[..., 1, 0], pts2[..., 1, 1]
-    cx, cy = pts2[..., 2, 0], pts2[..., 2, 1]
+        fields = tuple(
+            _pad(a, 1.0 if i >= 6 else 0.0) for i, a in enumerate(fields)
+        )
+    ax, ay, bx, by, cx, cy, z0, z1, z2 = fields
     area2 = (cx - ax) * (by - ay) - (bx - ax) * (cy - ay)  # 2*signed area
     inv = 1.0 / area2
 
@@ -79,18 +84,24 @@ def _triangle_setup(tris, poses, proj, width: int, height: int, roi):
     kgy = -(bx - ax) * inv
     kg0 = (ay * (bx - ax) - ax * (by - ay)) * inv
 
-    iz = 1.0 / zcam
-    diz1 = iz[..., 1] - iz[..., 0]
-    diz2 = iz[..., 2] - iz[..., 0]
+    iz0, iz1_, iz2_ = 1.0 / z0, 1.0 / z1, 1.0 / z2
+    diz1 = iz1_ - iz0
+    diz2 = iz2_ - iz0
     ddx = kbx * diz1 + kgx * diz2
     ddy = kby * diz1 + kgy * diz2
-    dd0 = kb0 * diz1 + kg0 * diz2 + iz[..., 0]
+    dd0 = kb0 * diz1 + kg0 * diz2 + iz0
 
-    bbmin, bbmax = rz.triangle_bbox(pts2, width, height, roi)
-    x_start = jnp.trunc(bbmin[..., 0] + 0.5)
-    y_start = jnp.trunc(bbmin[..., 1] + 0.5)
-    x_max = bbmax[..., 0]
-    y_max = bbmax[..., 1]
+    # clamped per-triangle screen bbox (triangle_bbox semantics,
+    # renderer.cu:100-121, on the field layout)
+    cmin, cmax = rz._clamp_bounds(width, height, roi)
+    bbmin_x = jnp.maximum(jnp.minimum(jnp.minimum(ax, bx), cx), cmin[0])
+    bbmin_y = jnp.maximum(jnp.minimum(jnp.minimum(ay, by), cy), cmin[1])
+    bbmax_x = jnp.minimum(jnp.maximum(jnp.maximum(ax, bx), cx), cmax[0])
+    bbmax_y = jnp.minimum(jnp.maximum(jnp.maximum(ay, by), cy), cmax[1])
+    x_start = jnp.trunc(bbmin_x + 0.5)
+    y_start = jnp.trunc(bbmin_y + 0.5)
+    x_max = bbmax_x
+    y_max = bbmax_y
 
     # degenerate / padded triangles: empty bbox so every test fails
     bad = ~jnp.isfinite(inv) | (area2 == 0.0)

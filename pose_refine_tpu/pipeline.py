@@ -82,20 +82,21 @@ def refine_poses_jit(
     out_h, out_w = depth.shape[1:]
 
     if lift == "window":
-        # scatter-free: per-pose object-centered crop + stride, then top_k
-        # compaction so ICP's per-iteration gathers touch only valid rows
-        # (TPU scatter makes exclusive-scan compaction ~10x the ICP cost)
-        from pose_refine_tpu.ops.depth_to_cloud import compact_topk, window_cloud
+        # scatter-free: per-pose object-centered crop + stride (one batched
+        # gather across the pose batch - see window_cloud_batched), then
+        # top_k compaction so ICP's per-iteration gathers touch only valid
+        # rows (TPU scatter makes exclusive-scan compaction ~10x ICP's cost)
+        from pose_refine_tpu.ops.depth_to_cloud import compact_topk, window_cloud_batched
 
         n_window = (-(-min(window, out_h) // stride)) * (-(-min(window, out_w) // stride))
 
-        def one_lift(d):
-            pts, v, n = window_cloud(
-                d, K, window=window, stride=stride, tl_x=roi[0], tl_y=roi[1]
-            )
-            if max_points < n_window:
-                return compact_topk(pts, v, max_points)
-            return pts, v, n
+        clouds, valids, _n = window_cloud_batched(
+            depth, K, window=window, stride=stride, tl_x=roi[0], tl_y=roi[1]
+        )
+        if max_points < n_window:
+            clouds, valids, _n = jax.vmap(
+                lambda p, v: compact_topk(p, v, max_points)
+            )(clouds, valids)
     else:
         def one_lift(d):
             # the rendered depth is an ROI crop when roi is set; unproject
@@ -103,7 +104,7 @@ def refine_poses_jit(
             pts, mask = depth_image_to_points(d, K, tl_x=roi[0], tl_y=roi[1])
             return compact_points(pts, mask, max_points)
 
-    clouds, valids, _n = jax.vmap(one_lift)(depth)
+        clouds, valids, _n = jax.vmap(one_lift)(depth)
 
     def one(cloud, valid):
         return icp.icp_point_to_plane(

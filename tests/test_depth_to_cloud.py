@@ -118,3 +118,29 @@ def test_compact_topk_overflow_is_spatially_spread(rng):
     out2, v2, _ = compact_topk(pts, valid, k=2048, spread=False)
     kept2 = np.sort(np.asarray(out2)[np.asarray(v2)][:, 0])
     np.testing.assert_array_equal(kept2, np.arange(2048).astype(np.float32))
+
+
+def test_window_cloud_batched_matches_vmap():
+    """The batched-gather window lift must equal vmap(window_cloud)."""
+    import jax
+
+    from pose_refine_tpu.ops.depth_to_cloud import window_cloud, window_cloud_batched
+
+    rng = np.random.default_rng(5)
+    K = geometry.LINEMOD_K.copy()
+    K[:2] *= 0.25
+    depth = np.zeros((4, 120, 160), np.int32)
+    for i in range(4):
+        y, x = rng.integers(10, 60), rng.integers(10, 80)
+        depth[i, y : y + 40, x : x + 50] = rng.integers(250, 400, (40, 50))
+    import jax.numpy as jnp
+
+    p0, v0, n0 = jax.vmap(
+        lambda d: window_cloud(d, K, window=64, stride=2, tl_x=3, tl_y=7)
+    )(jnp.asarray(depth))
+    p1, v1, n1 = window_cloud_batched(depth, K, window=64, stride=2, tl_x=3, tl_y=7)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))
+    # ulp-level tolerance: XLA rewrites the mm->m division to a
+    # reciprocal multiply under vmap but not in the batched layout
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(p1), atol=1e-6)
