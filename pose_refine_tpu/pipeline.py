@@ -76,7 +76,13 @@ def refine_poses_jit(
     if use_pallas:
         from pose_refine_tpu.ops.rasterize_pallas import rasterize_pallas
 
-        depth = rasterize_pallas(tris, init_poses, width, height, proj, roi=roi)
+        # 16px subtiles fit the halved block bboxes of down-sampled renders
+        # better (measured: 140 vs 154 ms at batch 256, render_scale=2);
+        # 32px wins at full resolution (278 vs 343 ms, PERF_NOTES)
+        variant = "tile16" if max(width, height) <= 384 else "tile32"
+        depth = rasterize_pallas(
+            tris, init_poses, width, height, proj, roi=roi, variant=variant
+        )
     else:
         depth = rz.rasterize_scatter(tris, init_poses, width, height, proj, roi=roi)
     out_h, out_w = depth.shape[1:]
