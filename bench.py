@@ -31,6 +31,19 @@ def _emit(obj):
     print("# " + json.dumps(obj), file=sys.stderr)
 
 
+def _time_median(fn, sync, iters=3):
+    """Compile/warm once, then median wall-clock of `iters` fenced runs."""
+    out = fn()
+    sync(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn()
+        sync(out)
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2], out
+
+
 def main():
     import jax
 
@@ -105,9 +118,15 @@ def main():
         scene_obj = refiner.scene
 
         def run():
+            # identical pipeline configuration as the single-chip path
+            # (render_scale folded into the render dims / K / roi)
             return refine_poses_sharded(
-                tris, poses, scene_obj, proj, K, WIDTH, HEIGHT,
-                max_points=CFG["max_points"], mesh=dev_mesh, use_pallas=use_pallas,
+                tris, poses, scene_obj, proj, refiner.K_render,
+                refiner.render_w, refiner.render_h,
+                max_points=CFG["max_points"], mesh=dev_mesh,
+                use_pallas=use_pallas, window=CFG["window"],
+                stride=CFG["stride"], chunk_iters=CFG["chunk_iters"],
+                roi=refiner.roi,
             )
     else:
         poses_dev = jax.device_put(jnp.asarray(poses))
@@ -121,13 +140,9 @@ def main():
     sync((refined, results.fitness))
     compile_s = time.perf_counter() - t0
 
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        refined, results = run()
-        sync((refined, results.fitness))
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]
+    dt, (refined, results) = _time_median(
+        run, lambda o: sync((o[0], o[1].fitness)), iters=5
+    )
 
     fit = np.asarray(results.fitness)
     rot_err = rotation_angle_deg(np.asarray(refined), truth)
@@ -139,13 +154,8 @@ def main():
     # ROI {160,80,320,240} repeat) ----
     def time_render(n, roi=(0, 0, 0, 0)):
         batch = jax.device_put(jnp.asarray(np.tile(truth, (n, 1, 1))))
-        sync(render_fn(batch, roi=roi))  # compile
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            sync(render_fn(batch, roi=roi))
-            ts.append(time.perf_counter() - t0)
-        return sorted(ts)[1]
+        t, _ = _time_median(lambda: render_fn(batch, roi=roi), sync)
+        return t
 
     for n, roi, tag in (
         (100, (0, 0, 0, 0), "renders_per_sec_batch100_640x480"),
@@ -173,15 +183,9 @@ def main():
     )
     refiner_fr.set_scene_depth(scene_depth)
     poses_dev2 = jax.device_put(jnp.asarray(poses))
-    r_fr, res_fr = refiner_fr.refine(poses_dev2)
-    sync((r_fr,))
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        r_fr, res_fr = refiner_fr.refine(poses_dev2)
-        sync((r_fr,))
-        ts.append(time.perf_counter() - t0)
-    t_fr = sorted(ts)[1]
+    t_fr, _ = _time_median(
+        lambda: refiner_fr.refine(poses_dev2), lambda o: sync((o[0],))
+    )
     _emit({"metric": "poses_per_sec_batch256_fullres_render", "value": round(N_POSES / t_fr, 1),
            "unit": "poses/sec", "wall_ms": round(t_fr * 1000, 1)})
 
@@ -195,15 +199,9 @@ def main():
         refiner_nn.set_scene_depth(scene_depth)
         n_nn = N_POSES
         poses_nn = jax.device_put(jnp.asarray(poses[:n_nn]))
-        r_nn, res_nn = refiner_nn.refine(poses_nn)
-        sync((r_nn,))
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            r_nn, res_nn = refiner_nn.refine(poses_nn)
-            sync((r_nn,))
-            ts.append(time.perf_counter() - t0)
-        t_nn = sorted(ts)[1]
+        t_nn, (r_nn, res_nn) = _time_median(
+            lambda: refiner_nn.refine(poses_nn), lambda o: sync((o[0],))
+        )
         rot_nn = rotation_angle_deg(np.asarray(r_nn), truth)
         _emit({"metric": "poses_per_sec_batch256_nn_scene", "value": round(n_nn / t_nn, 1),
                "unit": "poses/sec", "wall_ms": round(t_nn * 1000, 1),

@@ -53,10 +53,15 @@ def refine_poses_sharded(
     mesh: Optional[Mesh] = None,
     axis: str = "dp",
     use_pallas: Optional[bool] = None,
+    **pipeline_kwargs,
 ):
     """Data-parallel refine: the fused render->cloud->ICP program with the
     pose axis sharded over the mesh. Returns (refined poses, results), both
-    sharded over the pose axis."""
+    sharded over the pose axis.
+
+    pipeline_kwargs (lift/window/stride/roi/chunk_iters) pass through to
+    refine_poses_jit so the sharded program runs the SAME configuration as
+    the single-chip path (bench parity across device counts)."""
     if mesh is None:
         mesh = make_mesh(axis=axis)
     if use_pallas is None:  # pallas on real chips, XLA fallback on CPU dryruns
@@ -71,6 +76,7 @@ def refine_poses_sharded(
         criteria,
         use_pallas,
         jax.tree.structure(scene),
+        tuple(sorted(pipeline_kwargs.items())),
     )
     poses_sharded = shard_pose_batch(mesh, init_poses, axis)
     tris = jnp.asarray(tris, jnp.float32)
@@ -79,7 +85,8 @@ def refine_poses_sharded(
 
 @functools.lru_cache(maxsize=32)
 def _sharded_refine_fn(
-    mesh, axis, width, height, max_points, criteria, use_pallas, scene_treedef
+    mesh, axis, width, height, max_points, criteria, use_pallas, scene_treedef,
+    pipeline_items=(),
 ):
     """Build (and cache) the jitted sharded program. Cached on the static
     configuration so repeated refine_poses_sharded calls reuse one jit
@@ -97,6 +104,7 @@ def _sharded_refine_fn(
             max_points=max_points,
             criteria=criteria,
             use_pallas=use_pallas,
+            **dict(pipeline_items),
         ),
         in_shardings=(
             repl,                                        # tris

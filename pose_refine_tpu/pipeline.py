@@ -222,16 +222,16 @@ class PoseRefiner:
         if self.auto_roi:
             self.roi = self._compute_roi(scene_depth)
             logger.info("auto ROI (x, y, w, h) = %s (render px)", self.roi)
-            # no silent caps: the window lift keeps a window x stride
-            # neighborhood around the rendered object; an object bigger than
-            # that loses points without this check
-            cover = self.window * self.stride
-            if self.lift == "window" and self._obj_extent_px > cover:
+            # no silent caps: the window lift crops a window x window pixel
+            # region around the rendered object (stride subsamples INSIDE
+            # it - it does not extend coverage); a larger object loses
+            # boundary points without this check
+            if self.lift == "window" and self._obj_extent_px > self.window:
                 logger.warning(
                     "object extent ~%d render px exceeds the window lift "
-                    "coverage %d px (window=%d x stride=%d): points will be "
-                    "cropped. Enlarge window/stride or use lift='compact'.",
-                    self._obj_extent_px, cover, self.window, self.stride,
+                    "crop of %d px: boundary points will be cropped. "
+                    "Enlarge window= or use lift='compact'.",
+                    self._obj_extent_px, self.window,
                 )
         if self.scene_kind == "projective":
             self.scene = SceneProjective.from_depth(

@@ -229,3 +229,31 @@ def test_obj06_cpp_baseline_bit_parity():
     b = native.cpu_render_baseline(m.tris, poses, np.asarray(proj), 640, 480)
     mismatch = (a != b).mean()
     assert mismatch < 1e-5, f"{(a != b).sum()} pixels differ"
+
+
+def test_screen_fields_bitwise_equals_screen_triangles():
+    """The lane-major vertex transform (used by the Pallas path) must be
+    BIT-IDENTICAL to screen_triangles (used by the dense/scatter paths and
+    the C++-baseline parity tests) - an ulp shift would flip edge-pixel
+    coverage between backends."""
+    m = mesh.make_bumpy_sphere(radius=50.0, subdivisions=3)
+    K = geometry.LINEMOD_K.copy()
+    K[:2] *= 0.25
+    proj = geometry.compute_proj(K, 160, 120)
+    rng = np.random.default_rng(3)
+    poses = []
+    for _ in range(4):
+        d = np.asarray(geometry.euler_to_rotation(rng.uniform(-1, 1, 3).astype(np.float32)))
+        poses.append(np.asarray(geometry.pose_from_Rt(d, np.array([0, 0, 300], np.float32))))
+    poses = np.stack(poses)
+
+    pts2, zcam = R.screen_triangles(m.tris, poses, proj, 160, 120)
+    ax, ay, bx, by, cx, cy, z0, z1, z2 = R.screen_fields(m.tris, poses, proj, 160, 120)
+    pts2, zcam = np.asarray(pts2), np.asarray(zcam)
+    for got, want in (
+        (ax, pts2[..., 0, 0]), (ay, pts2[..., 0, 1]),
+        (bx, pts2[..., 1, 0]), (by, pts2[..., 1, 1]),
+        (cx, pts2[..., 2, 0]), (cy, pts2[..., 2, 1]),
+        (z0, zcam[..., 0]), (z1, zcam[..., 1]), (z2, zcam[..., 2]),
+    ):
+        np.testing.assert_array_equal(np.asarray(got), want)
