@@ -153,9 +153,31 @@ class PoseRefiner:
         roi_margin: float = 0.35,
         chunk_iters: int = 8,
         render_scale: int = 1,
+        decimate_mm: float = 0.0,
     ):
         self.model = Model.load(model) if isinstance(model, str) else model
-        self.tris = jnp.asarray(self.model.tris[morton_order(self.model.tris)])
+        # decimate_mm: vertex-cluster the HYPOTHESIS render mesh to this cell
+        # size (mm) - raster work scales with triangle blocks, and the
+        # reference's own loader tells users to simplify >10k-face meshes
+        # (renderer.cpp:50-57). The observed scene is sensor data and is
+        # untouched; rendered hypothesis points move by <= ~cell/2, far
+        # inside the default 0.1 m gate. Measured on obj_06 (31k -> 17k tris
+        # at 2 mm): per-case verdicts and ADD identical to the full mesh,
+        # batch-256 throughput +18% (scripts/decimation_speed_study.py).
+        # self.model keeps the ORIGINAL mesh (metrics like ADD use its
+        # vertices); only the render triangles are decimated.
+        self.decimate_mm = float(decimate_mm)
+        render_model = self.model
+        if self.decimate_mm > 0.0:
+            from pose_refine_tpu.mesh import simplify_vertex_clustering
+
+            render_model = simplify_vertex_clustering(self.model, self.decimate_mm)
+            logger.info(
+                "render mesh decimated: %d -> %d tris (%.1f mm cells)",
+                self.model.tris.shape[0], render_model.tris.shape[0],
+                self.decimate_mm,
+            )
+        self.tris = jnp.asarray(render_model.tris[morton_order(render_model.tris)])
         self.K = np.asarray(K, np.float32)
         self.width, self.height = int(width), int(height)
         self.proj = geometry.compute_proj(self.K, self.width, self.height)

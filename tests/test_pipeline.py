@@ -160,3 +160,26 @@ def test_window_crop_warning(setup, caplog):
     with caplog.at_level(logging.WARNING, logger="pose_refine_tpu"):
         refiner.set_scene_depth(scene_depth)
     assert any("cropped" in rec.message for rec in caplog.records)
+
+
+def test_refiner_decimated_render_mesh(setup):
+    """decimate_mm: hypothesis renders from a vertex-clustered mesh must
+    still recover the reference perturbation; the refiner keeps the ORIGINAL
+    model (metrics use its vertices) and only shrinks the render triangles."""
+    m, K = setup
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    scene_depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+
+    refiner = prt.PoseRefiner(
+        m, K=K, width=W, height=H, max_points=4096, use_pallas=False,
+        window=64, stride=1, decimate_mm=10.0,
+    )
+    assert refiner.model is m  # original kept
+    assert refiner.tris.shape[0] < m.tris.shape[0]  # render mesh shrank
+    refiner.set_scene_depth(scene_depth)
+    refined, results = refiner.refine(pose1)
+    R_err = np.asarray(refined)[:3, :3] @ pose2[:3, :3].T
+    ang_err = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+    assert ang_err < 4.0, f"decimated render mesh rotation off by {ang_err} deg"
+    assert float(results.fitness) > 0.7
