@@ -13,9 +13,20 @@ import numpy as np
 
 
 def sync(tree):
-    """Block until every array in the pytree has finished computing."""
+    """Block until every array in the pytree has finished computing.
+
+    One fused probe program reads the first element of EVERY leaf, then a
+    single 1-element D2H fetch fences them all. (A per-leaf probe costs one
+    ~30 ms tunnel round trip each - fencing a (poses, results) pair that way
+    doubled the apparent pipeline latency.)"""
     leaves = [x for x in jax.tree.leaves(tree) if hasattr(x, "dtype")]
-    for x in leaves:
-        flat = jnp.ravel(x)
-        np.asarray(jax.device_get(flat[:1]))
+    if not leaves:
+        return tree
+    probe = _fence_probe(tuple(leaves))
+    np.asarray(jax.device_get(probe))
     return tree
+
+
+@jax.jit
+def _fence_probe(leaves):
+    return sum(jnp.ravel(x)[0].astype(jnp.float32) * 0.0 for x in leaves)
