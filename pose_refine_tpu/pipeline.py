@@ -154,6 +154,7 @@ class PoseRefiner:
         chunk_iters: int = 8,
         render_scale: int = 1,
         decimate_mm: float = 0.0,
+        scene_voxel_mm: float = 0.0,
     ):
         self.model = Model.load(model) if isinstance(model, str) else model
         # decimate_mm: vertex-cluster the HYPOTHESIS render mesh to this cell
@@ -178,6 +179,11 @@ class PoseRefiner:
                 self.decimate_mm,
             )
         self.tris = jnp.asarray(render_model.tris[morton_order(render_model.tris)])
+        # scene_voxel_mm: voxel-downsample the NN scene cloud at build time
+        # (scene/nn.py:voxel_downsample) - exact-NN cost is O(Q x S), so
+        # scene size is the honest NN-throughput lever; no effect on the
+        # projective scene (its query is an image-space gather, size-free).
+        self.scene_voxel_mm = float(scene_voxel_mm)
         self.K = np.asarray(K, np.float32)
         self.width, self.height = int(width), int(height)
         self.proj = geometry.compute_proj(self.K, self.width, self.height)
@@ -261,11 +267,13 @@ class PoseRefiner:
             )
         elif self.scene_kind in ("nn", "nn_kdtree"):
             self.scene = SceneNN.from_depth(
-                scene_depth, self.K, self.max_dist_diff, backend="kdtree"
+                scene_depth, self.K, self.max_dist_diff, backend="kdtree",
+                voxel_mm=self.scene_voxel_mm,
             )
         elif self.scene_kind == "nn_bruteforce":
             self.scene = SceneNN.from_depth(
-                scene_depth, self.K, self.max_dist_diff, backend="bruteforce"
+                scene_depth, self.K, self.max_dist_diff, backend="bruteforce",
+                voxel_mm=self.scene_voxel_mm,
             )
         else:
             raise ValueError(f"unknown scene kind {self.scene_kind!r}")

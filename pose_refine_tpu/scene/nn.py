@@ -101,10 +101,17 @@ class SceneNN:
     @classmethod
     def from_depth(
         cls, depth, K, max_dist_diff: float = 0.1, leaf_size: int = 10,
-        backend: str = "kdtree",
+        backend: str = "kdtree", voxel_mm: float = 0.0,
     ) -> "SceneNN":
         """init_Scene_nn_cpu equivalent (pcd_scene.cpp:4-37): valid pixels ->
-        points + LINEMOD normals -> kd-tree."""
+        points + LINEMOD normals -> kd-tree.
+
+        voxel_mm > 0 voxel-downsamples the scene cloud first (centroid point
+        + renormalized mean normal per voxel) - standard ICP practice the
+        reference leaves to the user; exact-NN cost is O(queries x scene), so
+        scene size is the honest throughput lever for the NN backends. Pick
+        well under the gate (e.g. 4 mm against 0.1 m); see
+        scripts/nn_voxel_study.py for measured accuracy/speed trade-offs."""
         from pose_refine_tpu.ops.depth_to_cloud import depth_image_to_points
         from pose_refine_tpu.ops.normals import estimate_normals
 
@@ -113,6 +120,8 @@ class SceneNN:
         m = np.asarray(mask).reshape(-1)
         p = np.asarray(pts).reshape(-1, 3)[m]
         n = np.asarray(nrm).reshape(-1, 3)[m]
+        if voxel_mm > 0.0:
+            p, n = voxel_downsample(p, n, voxel_mm / 1000.0)
         return cls.from_cloud(p, n, max_dist_diff, leaf_size, backend)
 
     # ------------------------------------------------------------------ query
@@ -141,6 +150,28 @@ class SceneNN:
         valid = dist_sq < self.max_dist_diff * self.max_dist_diff
         rows = jnp.take(self.table, idx, axis=0)  # single packed gather
         return rows[..., 0:3], rows[..., 3:6], valid
+
+
+def voxel_downsample(points, normals, voxel_m: float):
+    """Centroid-average points (and renormalize mean normals) per uniform
+    voxel of edge ``voxel_m`` meters. Host-side numpy, like the rest of the
+    scene build (SURVEY 3.3: scene init is host work in the reference too).
+    """
+    p = np.asarray(points, np.float64)
+    n = np.asarray(normals, np.float64)
+    lo = p.min(axis=0)
+    cell = np.floor((p - lo) / float(voxel_m)).astype(np.int64)
+    key = (cell[:, 0] << 42) | (cell[:, 1] << 21) | cell[:, 2]
+    uniq, inverse = np.unique(key, return_inverse=True)
+    cnt = np.bincount(inverse, minlength=len(uniq)).astype(np.float64)
+    ps = np.zeros((len(uniq), 3))
+    ns = np.zeros((len(uniq), 3))
+    np.add.at(ps, inverse, p)
+    np.add.at(ns, inverse, n)
+    ps /= cnt[:, None]
+    norm = np.linalg.norm(ns, axis=1, keepdims=True)
+    ns = np.where(norm > 1e-12, ns / np.maximum(norm, 1e-12), ns)
+    return ps.astype(np.float32), ns.astype(np.float32)
 
 
 def _nn_kdtree(src, scene: SceneNN):

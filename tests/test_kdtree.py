@@ -204,3 +204,59 @@ def test_cpu_baseline_matches_jax_pipeline(rng):
     np.testing.assert_allclose(np.asarray(res.transformation), T[0], atol=5e-3)
     assert abs(float(res.fitness) - fit[0]) < 5e-3
     assert abs(float(res.inlier_rmse) - rmse[0]) < 1e-4
+
+
+def test_voxel_downsample(rng):
+    from pose_refine_tpu.scene.nn import voxel_downsample
+
+    # two tight clusters far apart -> exactly two voxels, centroid points,
+    # renormalized mean normals
+    a = rng.normal(size=(40, 3)).astype(np.float32) * 0.001
+    b = a + 10.5  # .5 offset keeps both clusters off voxel-grid lines
+    pts = np.concatenate([a, b])
+    nrm = np.tile(np.float32([[0, 0, 1]]), (80, 1))
+    p, n = voxel_downsample(pts, nrm, voxel_m=1.0)
+    assert p.shape == (2, 3) and n.shape == (2, 3)
+    got = p[np.argsort(p[:, 0])]
+    np.testing.assert_allclose(got[0], a.mean(axis=0), atol=1e-5)
+    np.testing.assert_allclose(got[1], b.mean(axis=0), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-6)
+
+    # voxel smaller than any point spacing -> identity (up to reorder)
+    sparse = (rng.uniform(0, 1, (30, 3)) * 100).astype(np.float32)
+    p2, _ = voxel_downsample(sparse, nrm[:30], voxel_m=1e-4)
+    assert p2.shape == (30, 3)
+    assert np.allclose(np.sort(p2, axis=0), np.sort(sparse, axis=0), atol=1e-5)
+
+
+def test_scene_voxel_downsample_recovers(rng):
+    """NN scene built with voxel_mm downsampling must still recover the
+    golden perturbation through the full pipeline."""
+    import pose_refine_tpu as prt
+    from pose_refine_tpu import geometry, mesh
+    from tests.test_icp import reference_demo_poses
+
+    W, H = 160, 120
+    K = geometry.LINEMOD_K.copy()
+    K[:2] *= 0.25
+    m = mesh.make_bumpy_sphere(radius=50.0, subdivisions=3)
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    scene_depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+
+    refiner = prt.PoseRefiner(
+        m, K=K, width=W, height=H, max_points=4096, use_pallas=False,
+        window=64, stride=1, scene="nn_bruteforce", scene_voxel_mm=4.0,
+    )
+    refiner.set_scene_depth(scene_depth)
+    full = prt.PoseRefiner(
+        m, K=K, width=W, height=H, max_points=4096, use_pallas=False,
+        window=64, stride=1, scene="nn_bruteforce",
+    )
+    full.set_scene_depth(scene_depth)
+    assert refiner.scene.points.shape[0] < full.scene.points.shape[0]
+    refined, results = refiner.refine(pose1)
+    R_err = np.asarray(refined)[:3, :3] @ pose2[:3, :3].T
+    ang_err = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+    assert ang_err < 4.0, f"voxel-downsampled NN scene off by {ang_err} deg"
+    assert float(results.fitness) > 0.7
