@@ -186,10 +186,14 @@ def main():
     _emit({"metric": "scene_reinit_warm_ms", "value": round(warm_init_s * 1000, 1),
            "unit": "ms"})
 
-    # ---- secondary metric: full-res pipeline (render_scale=1) ----
+    # ---- secondary metric: full-res pipeline (render_scale=1, full mesh -
+    # the conservative config). stride=3 keeps 100% verdict agreement and
+    # identical ADD vs stride=2 while the top_k compaction sees 7396 keys
+    # instead of 16384 (the 120 ms key-count floor) - measured in
+    # scripts/fullres_lift_study.py: 521 -> 580 poses/s. ----
     refiner_fr = prt.PoseRefiner(
         model, K=K, width=WIDTH, height=HEIGHT, use_pallas=use_pallas,
-        max_points=4096, window=256, stride=2, chunk_iters=64,
+        max_points=4096, window=256, stride=3, chunk_iters=64,
     )
     refiner_fr.set_scene_depth(scene_depth)
     poses_dev2 = jax.device_put(jnp.asarray(poses))
@@ -269,12 +273,17 @@ def main():
                 clouds_v.append(np.asarray(c))
                 valids_v.append(np.asarray(v))
             scene_p = refiner.scene
-            t0 = time.perf_counter()
-            T_cc, _, _ = native.cpu_icp_baseline(
-                np.stack(clouds_v), np.stack(valids_v),
-                np.asarray(scene_p.pcd), np.asarray(scene_p.normal), K,
-            )
-            cpu_icp_s = time.perf_counter() - t0
+            # best-of-2: single-shot timing on this 1-core host swings up
+            # to 8x when background work (XLA compile threads) steals the
+            # core mid-run; the verdicts are deterministic either way
+            cpu_icp_s = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                T_cc, _, _ = native.cpu_icp_baseline(
+                    np.stack(clouds_v), np.stack(valids_v),
+                    np.asarray(scene_p.pcd), np.asarray(scene_p.normal), K,
+                )
+                cpu_icp_s = min(cpu_icp_s, time.perf_counter() - t0)
             T_mm = T_cc.copy()
             T_mm[:, :3, 3] *= 1000.0
             cpu_final = np.einsum("nij,njk->nik", T_mm, poses[:n_sub])

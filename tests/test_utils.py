@@ -77,3 +77,21 @@ def test_step_timer():
         with t:
             pass
     assert t.count == 3 and t.mean >= 0 and t.worst >= t.mean
+
+
+def test_sync_fused_probe():
+    """sync() must fence arbitrary pytrees with one probe and return the
+    tree unchanged (values intact, non-array leaves passed through)."""
+    import jax.numpy as jnp
+
+    from pose_refine_tpu.utils.sync import sync
+
+    a = jnp.arange(12.0).reshape(3, 4)
+    b = jnp.ones(5, jnp.int32)
+    tree = (a, {"b": b, "flag": jnp.zeros((), bool), "meta": "host"}, 7)
+    out = sync(tree)
+    assert out is tree
+    assert float(np.asarray(out[0]).sum()) == 66.0
+    assert int(np.asarray(out[1]["b"]).sum()) == 5
+    assert sync(()) == ()  # no-array tree is a no-op
+    assert sync("x") == "x"
