@@ -203,6 +203,18 @@ def main():
     _emit({"metric": "poses_per_sec_batch256_fullres_render", "value": round(N_POSES / t_fr, 1),
            "unit": "poses/sec", "wall_ms": round(t_fr * 1000, 1)})
 
+    # ---- secondary metric: batch-512 scaling (fixed per-dispatch and
+    # setup costs amortize over a larger hypothesis batch) ----
+    try:
+        poses512 = jax.device_put(jnp.asarray(np.concatenate([poses, poses])))
+        t512, _ = _time_median(
+            lambda: refiner.refine(poses512), lambda o: sync((o[0], o[1].fitness))
+        )
+        _emit({"metric": "poses_per_sec_batch512", "value": round(512 / t512, 1),
+               "unit": "poses/sec", "wall_ms": round(t512 * 1000, 1)})
+    except Exception as e:
+        _emit({"metric": "poses_per_sec_batch512", "error": str(e)[:200]})
+
     # ---- secondary metric: production config WITHOUT render-mesh
     # decimation (the full 31k-tri obj_06, for apples-to-apples against
     # renderers that do not simplify) ----

@@ -159,6 +159,8 @@ def voxel_downsample(points, normals, voxel_m: float):
     """
     p = np.asarray(points, np.float64)
     n = np.asarray(normals, np.float64)
+    if p.shape[0] == 0:
+        return p.astype(np.float32), n.astype(np.float32)
     lo = p.min(axis=0)
     cell = np.floor((p - lo) / float(voxel_m)).astype(np.int64)
     key = (cell[:, 0] << 42) | (cell[:, 1] << 21) | cell[:, 2]
