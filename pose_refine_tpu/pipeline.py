@@ -266,8 +266,18 @@ class PoseRefiner:
                 scene_depth, self.K, self.max_dist_diff
             )
         elif self.scene_kind in ("nn", "nn_kdtree"):
+            # scene="nn" picks the fastest EXACT NN backend for the runtime:
+            # the kd traversal's vmapped while_loop is fine on CPU but
+            # dispatches one program segment per iteration on tunneled TPU
+            # runtimes (CLAUDE.md) - there the flash kernel is the exact
+            # production path. scene="nn_kdtree" forces the traversal.
+            backend = "kdtree"
+            if self.scene_kind == "nn" and jax.default_backend() != "cpu":
+                backend = "bruteforce"
+                logger.info("scene='nn': flash-NN backend selected for %s",
+                            jax.default_backend())
             self.scene = SceneNN.from_depth(
-                scene_depth, self.K, self.max_dist_diff, backend="kdtree",
+                scene_depth, self.K, self.max_dist_diff, backend=backend,
                 voxel_mm=self.scene_voxel_mm,
             )
         elif self.scene_kind == "nn_bruteforce":
@@ -283,8 +293,21 @@ class PoseRefiner:
         return self
 
     def set_scene_cloud(self, points, normals):
-        """NN scene directly from a point cloud (KDTree path)."""
-        backend = "bruteforce" if self.scene_kind == "nn_bruteforce" else "kdtree"
+        """NN scene directly from a point cloud. Backend selection matches
+        set_scene_depth: scene="nn" auto-picks (kd traversal on CPU, flash
+        kernel on TPU - both exact), "nn_kdtree"/"nn_bruteforce" force one."""
+        if self.scene_kind == "nn_bruteforce":
+            backend = "bruteforce"
+        elif self.scene_kind == "nn" and jax.default_backend() != "cpu":
+            backend = "bruteforce"
+        else:
+            backend = "kdtree"
+        if self.scene_voxel_mm > 0.0:
+            from pose_refine_tpu.scene.nn import voxel_downsample
+
+            points, normals = voxel_downsample(
+                points, normals, self.scene_voxel_mm / 1000.0
+            )
         self.scene = SceneNN.from_cloud(
             points, normals, self.max_dist_diff, backend=backend
         )

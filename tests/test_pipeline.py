@@ -183,3 +183,43 @@ def test_refiner_decimated_render_mesh(setup):
     ang_err = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
     assert ang_err < 4.0, f"decimated render mesh rotation off by {ang_err} deg"
     assert float(results.fitness) > 0.7
+
+
+def test_nn_scene_backend_auto_select(setup, monkeypatch):
+    """scene='nn' must pick an exact backend suited to the runtime: the kd
+    traversal on CPU, the flash kernel elsewhere (the vmapped while_loop
+    dispatches per-iteration program segments on tunneled TPU runtimes).
+    'nn_kdtree' forces the traversal."""
+    import jax
+
+    m, K = setup
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    scene_depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+
+    auto = prt.PoseRefiner(m, K=K, width=W, height=H, scene="nn", use_pallas=False)
+    auto.set_scene_depth(scene_depth)
+    assert auto.scene.backend == "kdtree"  # tests run on the CPU backend
+
+    forced = prt.PoseRefiner(m, K=K, width=W, height=H, scene="nn_kdtree",
+                             use_pallas=False)
+    forced.set_scene_depth(scene_depth)
+    assert forced.scene.backend == "kdtree"
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    auto.set_scene_depth(scene_depth)
+    assert auto.scene.backend == "bruteforce"
+    forced.set_scene_depth(scene_depth)
+    assert forced.scene.backend == "kdtree"
+
+
+def test_set_scene_cloud_applies_voxel(setup):
+    """scene_voxel_mm must apply to clouds given directly, not only depths."""
+    m, K = setup
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(0, 0.2, (500, 3)).astype(np.float32)
+    nrm = np.tile(np.float32([[0, 0, 1]]), (500, 1))
+    r = prt.PoseRefiner(m, K=K, width=W, height=H, scene="nn_bruteforce",
+                        use_pallas=False, scene_voxel_mm=50.0)
+    r.set_scene_cloud(pts, nrm)
+    assert r.scene.points.shape[0] < 500
