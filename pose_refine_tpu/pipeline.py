@@ -201,7 +201,20 @@ class PoseRefiner:
         self.render_h = self.height // self.render_scale
         self.K_render = self.K.copy()
         self.K_render[:2] /= self.render_scale
-        self.max_points = int(max_points)
+        # window="auto" / max_points="auto": size the lift geometry from the
+        # observed object at set_scene_depth time, reproducing what the
+        # hand-tuned bench studies found for obj_06 on ANY object
+        # (budget2k_sweep: the right budget keeps every valid point and not
+        # more; the right window is the smallest crop the object fits):
+        #   window    = extent*1.15 rounded up to 32 (z-perturbed hypotheses
+        #               render up to ~10% larger than the scene object)
+        #   max_points= 1.3 * the scene object's strided pixel count,
+        #               rounded up to 256, capped at the candidate count.
+        # Shapes are static per scene: re-tuning recompiles once per object,
+        # not per frame (sizes are quantized so small drift changes nothing).
+        self._auto_window = window == "auto"
+        self._auto_points = max_points == "auto"
+        self.max_points = 0 if self._auto_points else int(max_points)
         self.max_dist_diff = float(max_dist_diff)
         self.scene_kind = scene
         self.scene = None
@@ -209,7 +222,9 @@ class PoseRefiner:
             use_pallas = jax.default_backend() != "cpu"
         self.use_pallas = bool(use_pallas)
         self.lift = lift
-        self.window = int(min(window, self.render_w, self.render_h))
+        self.window = (
+            0 if self._auto_window else int(min(window, self.render_w, self.render_h))
+        )
         self.stride = int(stride)
         self.auto_roi = bool(auto_roi)
         self._obj_extent_px = 0
@@ -244,9 +259,34 @@ class PoseRefiner:
         y0 = min(y0, rh - h)
         return (x0, y0, w, h)
 
+    def _tune_lift(self, scene_depth):
+        """window='auto' / max_points='auto' resolution (see __init__)."""
+        d = np.asarray(scene_depth)
+        s = self.render_scale
+        ys, xs = np.nonzero(d > 0)
+        if len(xs) == 0:
+            self.window = self.window or min(256, self.render_w, self.render_h)
+            self.max_points = self.max_points or 4096
+            return
+        extent = int(max(xs.max() - xs.min(), ys.max() - ys.min())) // s
+        if self._auto_window:
+            w = -(-int(extent * 1.15) // 32) * 32
+            self.window = int(np.clip(w, 32, min(self.render_w, self.render_h)))
+        if self._auto_points:
+            n_obj = int((d > 0).sum()) // (s * s * self.stride * self.stride)
+            cand = (-(-self.window // self.stride)) ** 2
+            mp = min(-(-int(n_obj * 1.3) // 256) * 256, cand)
+            self.max_points = int(max(mp, 256))
+        logger.info(
+            "auto lift: window=%d, max_points=%d (object extent %d render px)",
+            self.window, self.max_points, extent,
+        )
+
     def set_scene_depth(self, scene_depth):
         """Build the association structure from an (H, W) mm depth image.
         Happens once per frame (SURVEY.md 3.3), not per ICP iteration."""
+        if self._auto_window or self._auto_points:
+            self._tune_lift(scene_depth)
         if self.auto_roi:
             self.roi = self._compute_roi(scene_depth)
             logger.info("auto ROI (x, y, w, h) = %s (render px)", self.roi)

@@ -223,3 +223,31 @@ def test_set_scene_cloud_applies_voxel(setup):
                         use_pallas=False, scene_voxel_mm=50.0)
     r.set_scene_cloud(pts, nrm)
     assert r.scene.points.shape[0] < 500
+
+
+def test_auto_lift_tuning(setup):
+    """window='auto'/max_points='auto' must size the lift from the observed
+    object and still recover the golden perturbation."""
+    m, K = setup
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    scene_depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+
+    refiner = prt.PoseRefiner(
+        m, K=K, width=W, height=H, window="auto", max_points="auto",
+        use_pallas=False, stride=1,
+    )
+    refiner.set_scene_depth(scene_depth)
+    # sized to the object: window covers the extent, budget covers the
+    # object's pixel count with margin, both quantized
+    ys, xs = np.nonzero(scene_depth > 0)
+    extent = max(xs.max() - xs.min(), ys.max() - ys.min())
+    assert refiner.window >= extent
+    assert refiner.window % 32 == 0 and refiner.max_points % 256 == 0
+    assert refiner.max_points >= (scene_depth > 0).sum()
+
+    refined, results = refiner.refine(pose1)
+    R_err = np.asarray(refined)[:3, :3] @ pose2[:3, :3].T
+    ang_err = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+    assert ang_err < 4.0, f"auto-tuned lift off by {ang_err} deg"
+    assert float(results.fitness) > 0.7
