@@ -235,13 +235,19 @@ class PoseRefiner:
         # convergence workloads (see icp.icp_point_to_plane docs)
         self.chunk_iters = int(chunk_iters)
 
-    def _compute_roi(self, scene_depth):
+    def _object_stats(self, scene_depth):
+        """ONE host scan of the depth image: (ys, xs, n_valid) of the
+        object, shared by ROI planning and auto lift tuning."""
+        d = np.asarray(scene_depth)
+        ys, xs = np.nonzero(d > 0)
+        return ys, xs
+
+    def _compute_roi(self, stats):
         """Crop-while-rendering window around the observed object - the
         reference's ROI mechanism (renderer.h:199-202) made automatic.
         Returned in RENDER pixels, aligned to the Pallas kernel's (8, 128)
         framebuffer tiles."""
-        d = np.asarray(scene_depth)
-        ys, xs = np.nonzero(d > 0)
+        ys, xs = stats
         if len(xs) == 0:
             self._obj_extent_px = 0
             return (0, 0, 0, 0)
@@ -259,11 +265,10 @@ class PoseRefiner:
         y0 = min(y0, rh - h)
         return (x0, y0, w, h)
 
-    def _tune_lift(self, scene_depth):
+    def _tune_lift(self, stats):
         """window='auto' / max_points='auto' resolution (see __init__)."""
-        d = np.asarray(scene_depth)
+        ys, xs = stats
         s = self.render_scale
-        ys, xs = np.nonzero(d > 0)
         if len(xs) == 0:
             self.window = self.window or min(256, self.render_w, self.render_h)
             self.max_points = self.max_points or 4096
@@ -273,22 +278,44 @@ class PoseRefiner:
             w = -(-int(extent * 1.15) // 32) * 32
             self.window = int(np.clip(w, 32, min(self.render_w, self.render_h)))
         if self._auto_points:
-            n_obj = int((d > 0).sum()) // (s * s * self.stride * self.stride)
-            cand = (-(-self.window // self.stride)) ** 2
-            mp = min(-(-int(n_obj * 1.3) // 256) * 256, cand)
+            if self.lift == "window":
+                # the window lift strides; budget = strided object pixels
+                n_obj = len(xs) // (s * s * self.stride * self.stride)
+                cand = (-(-self.window // self.stride)) ** 2
+                mp = min(-(-int(n_obj * 1.3) // 256) * 256, cand)
+            else:
+                # the compact lift keeps EVERY valid pixel (no window, no
+                # stride) - budget must cover the full object
+                n_obj = len(xs) // (s * s)
+                mp = -(-int(n_obj * 1.3) // 256) * 256
             self.max_points = int(max(mp, 256))
         logger.info(
             "auto lift: window=%d, max_points=%d (object extent %d render px)",
             self.window, self.max_points, extent,
         )
 
+    def _nn_backend(self) -> str:
+        """scene="nn" picks the fastest EXACT NN backend for the runtime:
+        the kd traversal's vmapped while_loop is fine on CPU but dispatches
+        one program segment per iteration on tunneled TPU runtimes
+        (CLAUDE.md) - there the flash kernel is the exact production path.
+        "nn_kdtree" / "nn_bruteforce" force a specific backend."""
+        if self.scene_kind == "nn_bruteforce":
+            return "bruteforce"
+        if self.scene_kind == "nn" and jax.default_backend() != "cpu":
+            logger.info("scene='nn': flash-NN backend selected for %s",
+                        jax.default_backend())
+            return "bruteforce"
+        return "kdtree"
+
     def set_scene_depth(self, scene_depth):
         """Build the association structure from an (H, W) mm depth image.
         Happens once per frame (SURVEY.md 3.3), not per ICP iteration."""
+        stats = self._object_stats(scene_depth)
         if self._auto_window or self._auto_points:
-            self._tune_lift(scene_depth)
+            self._tune_lift(stats)
         if self.auto_roi:
-            self.roi = self._compute_roi(scene_depth)
+            self.roi = self._compute_roi(stats)
             logger.info("auto ROI (x, y, w, h) = %s (render px)", self.roi)
             # no silent caps: the window lift crops a window x window pixel
             # region around the rendered object (stride subsamples INSIDE
@@ -305,25 +332,10 @@ class PoseRefiner:
             self.scene = SceneProjective.from_depth(
                 scene_depth, self.K, self.max_dist_diff
             )
-        elif self.scene_kind in ("nn", "nn_kdtree"):
-            # scene="nn" picks the fastest EXACT NN backend for the runtime:
-            # the kd traversal's vmapped while_loop is fine on CPU but
-            # dispatches one program segment per iteration on tunneled TPU
-            # runtimes (CLAUDE.md) - there the flash kernel is the exact
-            # production path. scene="nn_kdtree" forces the traversal.
-            backend = "kdtree"
-            if self.scene_kind == "nn" and jax.default_backend() != "cpu":
-                backend = "bruteforce"
-                logger.info("scene='nn': flash-NN backend selected for %s",
-                            jax.default_backend())
+        elif self.scene_kind in ("nn", "nn_kdtree", "nn_bruteforce"):
             self.scene = SceneNN.from_depth(
-                scene_depth, self.K, self.max_dist_diff, backend=backend,
-                voxel_mm=self.scene_voxel_mm,
-            )
-        elif self.scene_kind == "nn_bruteforce":
-            self.scene = SceneNN.from_depth(
-                scene_depth, self.K, self.max_dist_diff, backend="bruteforce",
-                voxel_mm=self.scene_voxel_mm,
+                scene_depth, self.K, self.max_dist_diff,
+                backend=self._nn_backend(), voxel_mm=self.scene_voxel_mm,
             )
         else:
             raise ValueError(f"unknown scene kind {self.scene_kind!r}")
@@ -334,14 +346,15 @@ class PoseRefiner:
 
     def set_scene_cloud(self, points, normals):
         """NN scene directly from a point cloud. Backend selection matches
-        set_scene_depth: scene="nn" auto-picks (kd traversal on CPU, flash
-        kernel on TPU - both exact), "nn_kdtree"/"nn_bruteforce" force one."""
-        if self.scene_kind == "nn_bruteforce":
-            backend = "bruteforce"
-        elif self.scene_kind == "nn" and jax.default_backend() != "cpu":
-            backend = "bruteforce"
-        else:
-            backend = "kdtree"
+        set_scene_depth (see _nn_backend)."""
+        if self._auto_window or self._auto_points:
+            # auto lift sizes come from an observed DEPTH image; a bare
+            # cloud gives no object extent to tune from - failing loudly
+            # beats refining with a zero-sized lift
+            raise ValueError(
+                "window='auto'/max_points='auto' require set_scene_depth; "
+                "pass explicit window/max_points to use set_scene_cloud"
+            )
         if self.scene_voxel_mm > 0.0:
             from pose_refine_tpu.scene.nn import voxel_downsample
 
@@ -349,7 +362,7 @@ class PoseRefiner:
                 points, normals, self.scene_voxel_mm / 1000.0
             )
         self.scene = SceneNN.from_cloud(
-            points, normals, self.max_dist_diff, backend=backend
+            points, normals, self.max_dist_diff, backend=self._nn_backend()
         )
         return self
 

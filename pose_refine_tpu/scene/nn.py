@@ -163,6 +163,11 @@ def voxel_downsample(points, normals, voxel_m: float):
         return p.astype(np.float32), n.astype(np.float32)
     lo = p.min(axis=0)
     cell = np.floor((p - lo) / float(voxel_m)).astype(np.int64)
+    if cell.max() >= (1 << 21):  # 21 bits per axis in the packed key below
+        raise ValueError(
+            f"cloud spans {cell.max() + 1} voxels on one axis (> 2^21): "
+            f"voxel {voxel_m} m is too small for this extent/unit"
+        )
     key = (cell[:, 0] << 42) | (cell[:, 1] << 21) | cell[:, 2]
     uniq, inverse = np.unique(key, return_inverse=True)
     cnt = np.bincount(inverse, minlength=len(uniq)).astype(np.float64)

@@ -19,7 +19,9 @@ def sync(tree):
     single 1-element D2H fetch fences them all. (A per-leaf probe costs one
     ~30 ms tunnel round trip each - fencing a (poses, results) pair that way
     doubled the apparent pipeline latency.)"""
-    leaves = [x for x in jax.tree.leaves(tree) if hasattr(x, "dtype")]
+    leaves = [
+        x for x in jax.tree.leaves(tree) if hasattr(x, "dtype") and x.size > 0
+    ]  # size-0 leaves carry no computation to wait on
     if not leaves:
         return tree
     probe = _fence_probe(tuple(leaves))
@@ -29,4 +31,4 @@ def sync(tree):
 
 @jax.jit
 def _fence_probe(leaves):
-    return sum(jnp.ravel(x)[0].astype(jnp.float32) * 0.0 for x in leaves)
+    return sum(jnp.real(jnp.ravel(x)[0]).astype(jnp.float32) * 0.0 for x in leaves)

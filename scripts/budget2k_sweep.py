@@ -5,42 +5,27 @@ identical ADD -- suggesting the on-object valid count already fits in 2048,
 so top_k drops nothing and only shrinks the ICP gather buffer. Verify, and
 find the knee.
 """
-import time
-
 import jax
-
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 import jax.numpy as jnp
 import numpy as np
 
+from _workload import scene_render, setup, time_median
+
 import pose_refine_tpu as prt
-from pose_refine_tpu import geometry, mesh
+from pose_refine_tpu import geometry
 from pose_refine_tpu.ops.depth_to_cloud import window_cloud_batched
 from pose_refine_tpu.ops.rasterize_pallas import rasterize_pallas
 from pose_refine_tpu.utils.metrics import add_error, rotation_angle_deg
 from pose_refine_tpu.utils.sync import sync
 
-W, H, N = 640, 480, 256
-model = mesh.load_benchmark_model()
-tris = jnp.asarray(model.tris[mesh.morton_order(model.tris)])
-K = geometry.LINEMOD_K
-proj = geometry.compute_proj(K, W, H)
-R1 = np.array([[0.34768538, 0.93761126, 0.0],
-               [0.70540612, -0.26157897, -0.65877056],
-               [-0.61767070, 0.22904489, -0.75234390]], np.float32)
-truth = np.asarray(geometry.pose_from_Rt(R1, np.array([0, 0, 300], np.float32)))
-rng = np.random.default_rng(0)
-d_rot = np.asarray(geometry.euler_to_rotation(
-    rng.uniform(-0.17, 0.17, (N, 3)).astype(np.float32)))
-poses = np.asarray(geometry.pose_from_Rt(
-    jnp.einsum("nij,jk->nik", d_rot, truth[:3, :3]),
-    truth[:3, 3] + rng.uniform(-20, 20, (N, 3)).astype(np.float32)))
-scene_depth = np.asarray(sync(rasterize_pallas(tris, jnp.asarray(truth)[None], W, H, proj)))[0]
+N = 256
+model, tris, K, proj, truth, poses = setup(N)
+scene_depth = scene_render(tris, truth, proj)
 poses_j = jax.device_put(jnp.asarray(poses))
 
 # valid counts in the production lift geometry (render_scale=2)
 K2 = K.copy(); K2[:2] /= 2
-dep2 = rasterize_pallas(tris, poses_j, W // 2, H // 2, geometry.compute_proj(K2, W // 2, H // 2))
+dep2 = rasterize_pallas(tris, poses_j, 320, 240, geometry.compute_proj(K2, 320, 240))
 _, _, nv = window_cloud_batched(dep2, jnp.asarray(K2), window=128, stride=2)
 nv = np.asarray(sync(nv))
 print(f"valid counts over 256 hypothesis renders (w128/s2, render_scale=2): "
@@ -49,18 +34,10 @@ print(f"valid counts over 256 hypothesis renders (w128/s2, render_scale=2): "
 
 base_ok = None
 for mp in (4096, 2560, 2304, 2048, 1792, 1536):
-    refiner = prt.PoseRefiner(model, K=K, width=W, height=H, render_scale=2,
+    refiner = prt.PoseRefiner(model, K=K, width=640, height=480, render_scale=2,
                               chunk_iters=64, window=128, stride=2, max_points=mp)
     refiner.set_scene_depth(scene_depth)
-    refined, res = refiner.refine(poses_j)
-    sync((refined,))
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        refined, res = refiner.refine(poses_j)
-        sync((refined, res.fitness))
-        times.append(time.perf_counter() - t0)
-    wall = sorted(times)[2]
+    wall, (refined, res) = time_median(lambda: refiner.refine(poses_j))
     refined = np.asarray(refined)
     rot = rotation_angle_deg(refined, truth)
     rec = rot < 3.0

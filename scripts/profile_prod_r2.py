@@ -1,46 +1,33 @@
 """Stage split of the CURRENT production pipeline (r2 end state).
 
 Times each stage as its own dispatch (each carries ~28-30 ms tunnel
-overhead - subtract the measured null-dispatch to compare against the
-fused total) at the production config: render_scale=2, decimate_mm=2,
-window 128 / stride 2, top_k 2048, 31 fused ICP iters.
+overhead - subtract the measured null-dispatch; standalone stages ALSO
+re-ship jit closure constants, so the fused total is the truth and the
+device split comes from jax.profiler, PERF_NOTES "Device-side truth").
+Production config: render_scale=2, decimate_mm=2, window 128 / stride 2,
+top_k 2048, 31 fused ICP iters.
 """
-import time
-
 import jax
-
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 import jax.numpy as jnp
 import numpy as np
 
+from _workload import scene_render, setup, time_median
+
 import pose_refine_tpu as prt
-from pose_refine_tpu import geometry, icp, mesh
+from pose_refine_tpu import icp
 from pose_refine_tpu.ops.depth_to_cloud import compact_topk, window_cloud_batched
 from pose_refine_tpu.ops.rasterize_pallas import rasterize_pallas
-from pose_refine_tpu.utils.sync import sync
 
-W, H, N = 640, 480, 256
-model = mesh.load_benchmark_model()
-dec = mesh.simplify_vertex_clustering(model, 2.0)
-tris_full = jnp.asarray(model.tris[mesh.morton_order(model.tris)])
-tris = jnp.asarray(dec.tris[mesh.morton_order(dec.tris)])
-K = geometry.LINEMOD_K
-proj = geometry.compute_proj(K, W, H)
-R1 = np.array([[0.34768538, 0.93761126, 0.0],
-               [0.70540612, -0.26157897, -0.65877056],
-               [-0.61767070, 0.22904489, -0.75234390]], np.float32)
-truth = np.asarray(geometry.pose_from_Rt(R1, np.array([0, 0, 300], np.float32)))
-rng = np.random.default_rng(0)
-d_rot = np.asarray(geometry.euler_to_rotation(rng.uniform(-0.17, 0.17, (N, 3)).astype(np.float32)))
-poses = jax.device_put(jnp.asarray(np.asarray(geometry.pose_from_Rt(
-    jnp.einsum("nij,jk->nik", d_rot, truth[:3, :3]),
-    truth[:3, 3] + rng.uniform(-20, 20, (N, 3)).astype(np.float32)))))
-scene_depth = np.asarray(sync(rasterize_pallas(tris_full, jnp.asarray(truth)[None], W, H, proj)))[0]
+N = 256
+model, tris_full, K, proj, truth, poses_np = setup(N)
+scene_depth = scene_render(tris_full, truth, proj)
+poses = jax.device_put(jnp.asarray(poses_np))
 
-refiner = prt.PoseRefiner(model, K=K, width=W, height=H, render_scale=2,
+refiner = prt.PoseRefiner(model, K=K, width=640, height=480, render_scale=2,
                           chunk_iters=64, window=128, stride=2, max_points=2048,
                           decimate_mm=2.0)
 refiner.set_scene_depth(scene_depth)
+tris = refiner.tris
 scene = refiner.scene
 roi = refiner.roi
 K2 = jnp.asarray(refiner.K_render)
@@ -49,13 +36,8 @@ rw, rh = refiner.render_w, refiner.render_h
 
 
 def timeit(name, fn, *args):
-    out = sync(fn(*args))
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = sync(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    print(f"{name:32s} {sorted(ts)[2]*1000:7.1f} ms", flush=True)
+    wall, out = time_median(lambda: fn(*args))
+    print(f"{name:32s} {wall*1000:7.1f} ms", flush=True)
     return out
 
 

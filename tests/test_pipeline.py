@@ -251,3 +251,27 @@ def test_auto_lift_tuning(setup):
     ang_err = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
     assert ang_err < 4.0, f"auto-tuned lift off by {ang_err} deg"
     assert float(results.fitness) > 0.7
+
+
+def test_set_scene_cloud_rejects_auto_lift(setup):
+    """auto lift sizes need a depth image; a bare cloud must fail loudly
+    instead of refining with a zero-sized lift."""
+    m, K = setup
+    r = prt.PoseRefiner(m, K=K, width=W, height=H, scene="nn_bruteforce",
+                        use_pallas=False, window="auto", max_points="auto")
+    pts = np.zeros((10, 3), np.float32)
+    nrm = np.tile(np.float32([[0, 0, 1]]), (10, 1))
+    with pytest.raises(ValueError, match="auto"):
+        r.set_scene_cloud(pts, nrm)
+
+
+def test_sync_empty_array_leaf():
+    """sync() must fence trees containing zero-size arrays (empty batches)."""
+    import jax.numpy as jnp
+
+    from pose_refine_tpu.utils.sync import sync
+
+    t = (jnp.zeros((0, 3)), jnp.ones((2, 2)))
+    out = sync(t)
+    assert out is t
+    assert sync((jnp.zeros((0,)),))  # all-empty tree is a no-op
