@@ -50,7 +50,10 @@ def screen_triangles(tris, poses, proj, width: int, height: int):
     """Transform model triangles into screen space for every pose.
 
     Args:
-      tris:  (T, 3, 3) model-space triangle vertices.
+      tris:  (T, 3, 3) model-space triangle vertices shared by all poses,
+             or (N, T, 3, 3) per-pose triangles (multi-model batches: each
+             hypothesis may rasterize a DIFFERENT mesh - the downstream
+             math is per-(pose, triangle) either way).
       poses: (N, 4, 4) model->camera transforms.
       proj:  (4, 4) projection from geometry.compute_proj.
 
@@ -62,8 +65,9 @@ def screen_triangles(tris, poses, proj, width: int, height: int):
     poses = jnp.asarray(poses, jnp.float32)
     proj = jnp.asarray(proj, jnp.float32)
     f32 = jax.lax.Precision.HIGHEST  # tiny contractions; bf16 MXU would cost parity
+    spec = "nij,ntvj->ntvi" if tris.ndim == 4 else "nij,tvj->ntvi"
     cam = (
-        jnp.einsum("nij,tvj->ntvi", poses[:, :3, :3], tris, precision=f32)
+        jnp.einsum(spec, poses[:, :3, :3], tris, precision=f32)
         + poses[:, None, None, :3, 3]
     )
     zcam = cam[..., 2]
@@ -83,6 +87,8 @@ def screen_fields(tris, poses, proj, width: int, height: int):
     trailing dims of the stacked form pad to (8, 128) vector tiles on TPU,
     a ~50x layout bloat that made the vertex transform HBM-bound; here the
     triangle axis stays on lanes throughout.
+
+    tris may be (T, 3, 3) shared or (N, T, 3, 3) per-pose (multi-model).
     """
     tris = jnp.asarray(tris, jnp.float32)
     poses = jnp.asarray(poses, jnp.float32)
@@ -91,11 +97,13 @@ def screen_fields(tris, poses, proj, width: int, height: int):
     R = poses[:, :3, :3]
     t = poses[:, :3, 3]
     half_w, half_h = width / 2.0, height / 2.0
+    per_pose = tris.ndim == 4
 
     out = []
     for v in range(3):
-        tv = tris[:, v, :]  # (T, 3)
-        cam = jnp.einsum("nij,tj->nit", R, tv, precision=f32) + t[:, :, None]
+        tv = tris[:, :, v, :] if per_pose else tris[:, v, :]  # (N, T, 3)|(T, 3)
+        spec = "nij,ntj->nit" if per_pose else "nij,tj->nit"
+        cam = jnp.einsum(spec, R, tv, precision=f32) + t[:, :, None]
         z = cam[:, 2]  # (N, T)
         px = (
             jnp.einsum("j,njt->nt", proj[0, :3], cam, precision=f32) + proj[0, 3]

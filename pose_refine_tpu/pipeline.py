@@ -311,6 +311,15 @@ class PoseRefiner:
     def set_scene_depth(self, scene_depth):
         """Build the association structure from an (H, W) mm depth image.
         Happens once per frame (SURVEY.md 3.3), not per ICP iteration."""
+        d_max = float(np.max(np.asarray(scene_depth)))
+        if 0.0 < d_max <= 50.0:
+            # a depth image whose farthest point is 5 cm is almost certainly
+            # in METERS; everything here is mm (depth int mm, points m -
+            # common.h:47-73 conventions)
+            logger.warning(
+                "scene depth max is %.2f - values look like meters; this "
+                "pipeline expects millimeters (uint16/int32 mm)", d_max,
+            )
         stats = self._object_stats(scene_depth)
         if self._auto_window or self._auto_points:
             self._tune_lift(stats)
@@ -372,6 +381,7 @@ class PoseRefiner:
         criteria: icp.ICPConvergenceCriteria = icp.ICPConvergenceCriteria(),
         schedule=None,
         _scene=None,
+        _tris=None,
     ):
         """(N, 4, 4) hypotheses -> (refined (N, 4, 4), RegistrationResult).
 
@@ -401,6 +411,7 @@ class PoseRefiner:
                         int(iters),
                     ),
                     _scene=_scene_with_gate(scene, max_dist),
+                    _tris=_tris,
                 )
             return poses, results
         init_poses = jnp.asarray(init_poses, jnp.float32)
@@ -408,7 +419,7 @@ class PoseRefiner:
         if squeeze:
             init_poses = init_poses[None]
         refined, results = refine_poses_jit(
-            self.tris,
+            self.tris if _tris is None else _tris,
             init_poses,
             scene,
             self.proj,
@@ -439,3 +450,61 @@ class PoseRefiner:
         rmse = np.asarray(results.inlier_rmse)
         order = np.lexsort((rmse, -fit))
         return order
+
+
+class MultiModelRefiner(PoseRefiner):
+    """Refine hypotheses of SEVERAL models against one scene in ONE fused
+    program (beyond parity: the reference binds one mesh per renderer and
+    must run its whole pipeline once per object - pose_renderer.h:15-19).
+
+    The raster setup is per-(pose, triangle) everywhere, so nothing stops
+    each hypothesis from rasterizing a different mesh: models are Morton-
+    ordered, optionally decimated, padded with zero-area triangles to a
+    common count and stacked into an (M, T, 3, 3) device table; refine()
+    gathers per-pose triangles by model id and runs the standard pipeline.
+
+    Example:
+        refiner = MultiModelRefiner([model_a, model_b], K=K)
+        refiner.set_scene_depth(depth)      # scene may contain either object
+        refined, res = refiner.refine([0, 0, 1, 1], poses)   # 2 hyps each
+    """
+
+    def __init__(self, models, K, **kwargs):
+        models = [Model.load(m) if isinstance(m, str) else m for m in models]
+        if not models:
+            raise ValueError("MultiModelRefiner needs at least one model")
+        super().__init__(models[0], K, **kwargs)
+        self.models = models
+        tables = []
+        for m in models:
+            rm = m
+            if self.decimate_mm > 0.0:
+                from pose_refine_tpu.mesh import simplify_vertex_clustering
+
+                rm = simplify_vertex_clustering(m, self.decimate_mm)
+            tables.append(rm.tris[morton_order(rm.tris)])
+        tmax = max(t.shape[0] for t in tables)
+        padded = []
+        for t in tables:
+            if t.shape[0] < tmax:
+                # degenerate pad: zero-area triangles at the model's first
+                # vertex - culled by the zero-area test in every raster path
+                pad = np.broadcast_to(t[:1, :1, :], (tmax - t.shape[0], 3, 3))
+                t = np.concatenate([t, pad], axis=0)
+            padded.append(t)
+        self.tris_table = jnp.asarray(np.stack(padded))  # (M, T, 3, 3)
+
+    def refine(self, model_ids, init_poses=None, **kwargs):
+        """(model_ids (N,), init_poses (N, 4, 4)) -> refined + results."""
+        if init_poses is None:
+            raise TypeError("MultiModelRefiner.refine(model_ids, init_poses)")
+        ids = jnp.asarray(np.asarray(model_ids, np.int32).reshape(-1))
+        init_poses = jnp.asarray(init_poses, jnp.float32)
+        if init_poses.ndim == 2:
+            init_poses = init_poses[None]
+        if init_poses.shape[0] != ids.shape[0]:
+            raise ValueError(
+                f"{ids.shape[0]} model ids for {init_poses.shape[0]} poses"
+            )
+        tris_batch = jnp.take(self.tris_table, ids, axis=0)  # (N, T, 3, 3)
+        return super().refine(init_poses, _tris=tris_batch, **kwargs)

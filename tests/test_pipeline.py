@@ -275,3 +275,56 @@ def test_sync_empty_array_leaf():
     out = sync(t)
     assert out is t
     assert sync((jnp.zeros((0,)),))  # all-empty tree is a no-op
+
+
+def test_multi_model_refiner(setup):
+    """One fused batch refining hypotheses of TWO different meshes: each
+    hypothesis must converge to the truth pose of ITS OWN object's scene."""
+    m1, K = setup
+    # NOT a plain sphere: rotationally symmetric surfaces have no
+    # recoverable rotation under depth-only ICP
+    m2 = mesh.make_bumpy_sphere(radius=40.0, subdivisions=2)
+    pose1, pose2, _ = reference_demo_poses()
+
+    refiner = prt.MultiModelRefiner(
+        [m1, m2], K=K, width=W, height=H, max_points=4096, use_pallas=False,
+        window=64, stride=1,
+    )
+    # per-pose triangle tables really differ
+    assert refiner.tris_table.shape[0] == 2
+    assert not np.allclose(
+        np.asarray(refiner.tris_table[0]), np.asarray(refiner.tris_table[1])
+    )
+
+    # scene: object m1 at pose2 (the observed frame)
+    r1 = prt.PoseRenderer(m1, K=K, width=W, height=H, backend="dense")
+    refiner.set_scene_depth(np.asarray(r1.render_depth(pose2))[0].astype(np.int32))
+    ids = np.array([0, 0], np.int32)
+    starts = np.stack([pose1, pose1])
+    refined, results = refiner.refine(ids, starts)
+    for i in range(2):
+        R_err = np.asarray(refined)[i, :3, :3] @ pose2[:3, :3].T
+        ang = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+        assert ang < 4.0, f"model-0 hypothesis {i} off by {ang} deg"
+
+    # scene: object m2 at pose2 - model-1 hypotheses must recover against it
+    r2 = prt.PoseRenderer(m2, K=K, width=W, height=H, backend="dense")
+    refiner.set_scene_depth(np.asarray(r2.render_depth(pose2))[0].astype(np.int32))
+    refined2, results2 = refiner.refine(np.array([1, 1], np.int32), starts)
+    for i in range(2):
+        R_err = np.asarray(refined2)[i, :3, :3] @ pose2[:3, :3].T
+        ang = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+        assert ang < 4.0, f"model-1 hypothesis {i} off by {ang} deg"
+    assert float(np.asarray(results2.fitness).min()) > 0.7
+
+    # and the padded (degenerate) triangles must not pollute the render:
+    # a model-1 render through the multi table == the single-model render
+    dep_multi = np.asarray(
+        prt.render(np.asarray(refiner.tris_table[1]), pose2[None], W, H,
+                   refiner.proj, backend="dense")
+    )
+    tris1 = m2.tris[mesh.morton_order(m2.tris)]
+    dep_single = np.asarray(
+        prt.render(tris1, pose2[None], W, H, refiner.proj, backend="dense")
+    )
+    np.testing.assert_array_equal(dep_multi, dep_single)
