@@ -257,3 +257,29 @@ def test_screen_fields_bitwise_equals_screen_triangles():
         (z0, zcam[..., 0]), (z1, zcam[..., 1]), (z2, zcam[..., 2]),
     ):
         np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_per_pose_triangle_tables():
+    """(N, T, 3, 3) per-pose triangle tables (multi-model batches) must
+    rasterize identically to rendering each pose with its own mesh."""
+    from pose_refine_tpu.ops.rasterize_pallas import rasterize_pallas
+
+    rng = np.random.default_rng(12)
+    m1 = mesh.make_bumpy_sphere(radius=50.0, subdivisions=2)
+    m2 = mesh.make_bumpy_sphere(radius=30.0, subdivisions=2)
+    t1 = m1.tris[mesh.morton_order(m1.tris)]
+    t2 = m2.tris[mesh.morton_order(m2.tris)]
+    assert t1.shape == t2.shape  # same subdivision level
+    proj = geometry.compute_proj(small_K(), W, H)
+    poses = make_poses(2, rng)
+    per_pose = np.stack([t1, t2])  # pose 0 renders m1, pose 1 renders m2
+
+    for fn in (
+        R.rasterize_dense,
+        lambda t, p, w, h, pr: rasterize_pallas(t, p, w, h, pr, interpret=True),
+    ):
+        multi = np.asarray(fn(per_pose, poses, W, H, proj))
+        one = np.asarray(fn(t1, poses[:1], W, H, proj))
+        two = np.asarray(fn(t2, poses[1:], W, H, proj))
+        np.testing.assert_array_equal(multi[0], one[0])
+        np.testing.assert_array_equal(multi[1], two[0])
