@@ -67,6 +67,7 @@ def refine_poses_sharded(
     if use_pallas is None:  # pallas on real chips, XLA fallback on CPU dryruns
         use_pallas = jax.default_backend() != "cpu"
 
+    tris = jnp.asarray(tris, jnp.float32)
     fn = _sharded_refine_fn(
         mesh,
         axis,
@@ -77,16 +78,16 @@ def refine_poses_sharded(
         use_pallas,
         jax.tree.structure(scene),
         tuple(sorted(pipeline_kwargs.items())),
+        tris_per_pose=tris.ndim == 4,
     )
     poses_sharded = shard_pose_batch(mesh, init_poses, axis)
-    tris = jnp.asarray(tris, jnp.float32)
     return fn(tris, poses_sharded, scene, jnp.asarray(proj), jnp.asarray(K, jnp.float32))
 
 
 @functools.lru_cache(maxsize=32)
 def _sharded_refine_fn(
     mesh, axis, width, height, max_points, criteria, use_pallas, scene_treedef,
-    pipeline_items=(),
+    pipeline_items=(), tris_per_pose=False,
 ):
     """Build (and cache) the jitted sharded program. Cached on the static
     configuration so repeated refine_poses_sharded calls reuse one jit
@@ -95,6 +96,11 @@ def _sharded_refine_fn(
 
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(axis))
+    # shared (T, 3, 3) triangles replicate; per-pose (N, T, 3, 3) tables
+    # (multi-model batches) shard with their poses
+    tris_sharding = (
+        NamedSharding(mesh, P(axis, None, None, None)) if tris_per_pose else repl
+    )
 
     return jax.jit(
         functools.partial(
@@ -107,7 +113,7 @@ def _sharded_refine_fn(
             **dict(pipeline_items),
         ),
         in_shardings=(
-            repl,                                        # tris
+            tris_sharding,                               # tris
             NamedSharding(mesh, P(axis, None, None)),    # poses
             jax.tree.unflatten(
                 scene_treedef, [repl] * scene_treedef.num_leaves
