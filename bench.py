@@ -215,6 +215,21 @@ def main():
     except Exception as e:
         _emit({"metric": "poses_per_sec_batch512", "error": str(e)[:200]})
 
+    # ---- secondary metric: streaming throughput (serving mode) - enqueue
+    # K batches back-to-back and fence ONCE; the runtime pipelines the
+    # dispatches, amortizing the ~28 ms tunnel round trip per batch ----
+    try:
+        K_STREAM = 4
+        t0 = time.perf_counter()
+        outs = [run() for _ in range(K_STREAM)]
+        sync([(o[0], o[1].fitness) for o in outs])
+        t_stream = (time.perf_counter() - t0) / K_STREAM
+        _emit({"metric": "poses_per_sec_batch256_streaming", "value": round(N_POSES / t_stream, 1),
+               "unit": "poses/sec", "wall_ms_per_batch": round(t_stream * 1000, 1),
+               "batches_in_flight": K_STREAM})
+    except Exception as e:
+        _emit({"metric": "poses_per_sec_batch256_streaming", "error": str(e)[:200]})
+
     # ---- secondary metric: production config WITHOUT render-mesh
     # decimation (the full 31k-tri obj_06, for apples-to-apples against
     # renderers that do not simplify) ----
