@@ -294,6 +294,28 @@ class PoseRefiner:
             self.window, self.max_points, extent,
         )
 
+    def _roi_still_fits(self, stats) -> bool:
+        """ROI hysteresis: the roi is a STATIC argument of the fused program
+        (it fixes the framebuffer shape), so changing it every frame as the
+        object drifts forces a recompile per frame - the difference between
+        ~0.1 and ~5 fps in a tracking loop. Keep the previous crop while the
+        object still sits a guard margin inside it; _compute_roi's own
+        margin (roi_margin*extent) gives it room to drift."""
+        if self.roi == (0, 0, 0, 0):
+            return False
+        ys, xs = stats
+        if len(xs) == 0:
+            return True
+        s = self.render_scale
+        x0, y0, w, h = self.roi
+        guard = 12
+        return (
+            int(xs.min()) // s - guard >= x0
+            and int(ys.min()) // s - guard >= y0
+            and int(xs.max()) // s + guard <= x0 + w
+            and int(ys.max()) // s + guard <= y0 + h
+        )
+
     def _nn_backend(self) -> str:
         """scene="nn" picks the fastest EXACT NN backend for the runtime:
         the kd traversal's vmapped while_loop is fine on CPU but dispatches
@@ -324,8 +346,17 @@ class PoseRefiner:
         if self._auto_window or self._auto_points:
             self._tune_lift(stats)
         if self.auto_roi:
-            self.roi = self._compute_roi(stats)
-            logger.info("auto ROI (x, y, w, h) = %s (render px)", self.roi)
+            if self._roi_still_fits(stats):
+                # keep the compiled program; refresh only the extent used
+                # by the window-crop warning below
+                ys, xs = stats
+                if len(xs):
+                    self._obj_extent_px = int(
+                        max(xs.max() - xs.min(), ys.max() - ys.min())
+                    ) // self.render_scale
+            else:
+                self.roi = self._compute_roi(stats)
+                logger.info("auto ROI (x, y, w, h) = %s (render px)", self.roi)
             # no silent caps: the window lift crops a window x window pixel
             # region around the rendered object (stride subsamples INSIDE
             # it - it does not extend coverage); a larger object loses

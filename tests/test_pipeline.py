@@ -328,3 +328,55 @@ def test_multi_model_refiner(setup):
         prt.render(tris1, pose2[None], W, H, refiner.proj, backend="dense")
     )
     np.testing.assert_array_equal(dep_multi, dep_single)
+
+
+def test_feature_composition(setup):
+    """All the round-2 features composed at once - auto lift sizing +
+    decimation + NN scene with voxel downsampling + coarse-to-fine
+    schedule - must still recover the golden perturbation."""
+    m, K = setup
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    scene_depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+
+    refiner = prt.PoseRefiner(
+        m, K=K, width=W, height=H, use_pallas=False, stride=1,
+        window="auto", max_points="auto", decimate_mm=10.0,
+        scene="nn_bruteforce", scene_voxel_mm=6.0,
+    )
+    refiner.set_scene_depth(scene_depth)
+    refined, results = refiner.refine(
+        pose1, schedule=[(0.3, 10), (0.1, 21)]
+    )
+    R_err = np.asarray(refined)[:3, :3] @ pose2[:3, :3].T
+    ang_err = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+    assert ang_err < 4.0, f"composed features off by {ang_err} deg"
+    assert float(results.fitness) > 0.7
+
+
+def test_roi_hysteresis(setup):
+    """The ROI is a static jit argument; small object drift must NOT move it
+    (per-frame recompiles turn a tracking loop from ~5 fps to ~0.1), while a
+    large displacement must re-crop."""
+    m, K = setup
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    refiner = prt.PoseRefiner(m, K=K, width=W, height=H, use_pallas=False)
+
+    d1 = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+    refiner.set_scene_depth(d1)
+    roi1 = refiner.roi
+    assert roi1 != (0, 0, 0, 0)
+
+    # a few-pixel drift: same ROI object, program stays compiled
+    drift = np.asarray(geometry.pose_from_Rt(pose2[:3, :3], pose2[:3, 3] + np.float32([2, 2, 0])))
+    d2 = np.asarray(r.render_depth(drift))[0].astype(np.int32)
+    refiner.set_scene_depth(d2)
+    assert refiner.roi == roi1
+
+    # a large jump: must re-crop
+    far = np.asarray(geometry.pose_from_Rt(pose2[:3, :3], pose2[:3, 3] + np.float32([0, 0, -150])))
+    d3 = np.asarray(r.render_depth(far))[0].astype(np.int32)
+    assert (d3 > 0).any()
+    refiner.set_scene_depth(d3)
+    assert refiner.roi != roi1
