@@ -471,6 +471,56 @@ class PoseRefiner:
             results = jax.tree.map(lambda x: x[0], results)
         return refined, results
 
+    def track(
+        self,
+        frame_depth,
+        init_poses,
+        criteria: icp.ICPConvergenceCriteria = icp.ICPConvergenceCriteria(),
+    ):
+        """One tracking step: rebuild the scene from this frame's depth AND
+        refine, fused into a single program (track_poses_jit). Use in
+        per-frame loops where set_scene_depth + refine would pay two
+        dispatches; projective scenes only (NN scenes build their kd
+        structure on the host). Does not touch self.scene.
+
+        Returns (refined (N, 4, 4), RegistrationResult)."""
+        if self.scene_kind != "projective":
+            raise ValueError("track() supports scene='projective' only; "
+                             "use set_scene_depth + refine for NN scenes")
+        stats = self._object_stats(frame_depth)
+        if self._auto_window or self._auto_points:
+            self._tune_lift(stats)
+        if self.auto_roi and not self._roi_still_fits(stats):
+            self.roi = self._compute_roi(stats)
+            logger.info("auto ROI (x, y, w, h) = %s (render px)", self.roi)
+        init_poses = jnp.asarray(init_poses, jnp.float32)
+        squeeze = init_poses.ndim == 2
+        if squeeze:
+            init_poses = init_poses[None]
+        refined, results = track_poses_jit(
+            self.tris,
+            init_poses,
+            jnp.asarray(frame_depth),
+            self.proj,
+            jnp.asarray(self.K_render),
+            jnp.asarray(self.K),
+            jnp.float32(self.max_dist_diff),
+            self.render_w,
+            self.render_h,
+            self.max_points,
+            criteria,
+            self.use_pallas,
+            lift=self.lift,
+            window=self.window,
+            stride=self.stride,
+            roi=self.roi,
+            chunk_iters=self.chunk_iters,
+        )
+        if squeeze:
+            refined = refined[0]
+            results = jax.tree.map(lambda x: x[0], results)
+        return refined, results
+
     @staticmethod
     def rank(results: icp.RegistrationResult):
         """Hypothesis re-ranking: best-first indices by (fitness, -rmse).
@@ -481,6 +531,33 @@ class PoseRefiner:
         rmse = np.asarray(results.inlier_rmse)
         order = np.lexsort((rmse, -fit))
         return order
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "max_points", "criteria", "use_pallas",
+        "lift", "window", "stride", "roi", "chunk_iters",
+    ),
+)
+def track_poses_jit(
+    tris, init_poses, frame_depth, proj, K_render, K_full, max_dist,
+    width, height, max_points, criteria, use_pallas,
+    lift="window", window=256, stride=2, roi=(0, 0, 0, 0), chunk_iters=8,
+):
+    """Per-frame scene build FUSED with refinement: one program per frame.
+
+    The projective scene build is pure jnp (dep2pcd + the normal stencil),
+    so it traces into the same program as render->lift->ICP - a tracking
+    loop pays ONE dispatch for compute instead of two (the reference
+    rebuilds its scene every frame as a separate host step, SURVEY 3.3)."""
+    scene = SceneProjective.from_depth(frame_depth, K_full, max_dist)
+    return refine_poses_jit(
+        tris, init_poses, scene, proj, K_render,
+        width=width, height=height, max_points=max_points, criteria=criteria,
+        use_pallas=use_pallas, lift=lift, window=window, stride=stride,
+        roi=roi, chunk_iters=chunk_iters,
+    )
 
 
 class MultiModelRefiner(PoseRefiner):

@@ -43,16 +43,15 @@ for frame in range(N_FRAMES):
         drift @ truth[:3, :3],
         truth[:3, 3] + rng.uniform(-5, 5, 3).astype(np.float32)))
 
-    # "sensor" frame + per-frame scene rebuild + refinement from the prior
+    # "sensor" frame -> ONE fused program: scene build + refinement
     frame_depth = scene_render(tris, truth, proj)
     t0 = time.perf_counter()
-    refiner.set_scene_depth(frame_depth)
     jitter = np.asarray(geometry.euler_to_rotation(
         rng.uniform(-0.02, 0.02, (N_HYP, 3)).astype(np.float32)))
     hyps = np.asarray(geometry.pose_from_Rt(
         np.einsum("nij,jk->nik", jitter, estimate[:3, :3]),
         estimate[:3, 3] + rng.uniform(-3, 3, (N_HYP, 3)).astype(np.float32)))
-    refined, res = refiner.refine(jax.device_put(jnp.asarray(hyps)))
+    refined, res = refiner.track(frame_depth, hyps)
     sync((refined, res.fitness))
     dt = time.perf_counter() - t0
     estimate = np.asarray(refined)[prt.PoseRefiner.rank(res)[0]]

@@ -380,3 +380,24 @@ def test_roi_hysteresis(setup):
     assert (d3 > 0).any()
     refiner.set_scene_depth(d3)
     assert refiner.roi != roi1
+
+
+def test_track_matches_set_scene_plus_refine(setup):
+    """track() (fused per-frame scene build + refine) must match the
+    two-step set_scene_depth + refine path."""
+    m, K = setup
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    d = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+
+    refiner = prt.PoseRefiner(m, K=K, width=W, height=H, max_points=4096,
+                              use_pallas=False, window=64, stride=1)
+    tracked, res_t = refiner.track(d, pose1)
+    refiner.set_scene_depth(d)
+    refined, res_r = refiner.refine(pose1)
+    np.testing.assert_allclose(np.asarray(tracked), np.asarray(refined), atol=1e-5)
+    np.testing.assert_allclose(float(res_t.fitness), float(res_r.fitness), atol=1e-6)
+
+    with pytest.raises(ValueError, match="projective"):
+        prt.PoseRefiner(m, K=K, width=W, height=H, scene="nn_bruteforce",
+                        use_pallas=False).track(d, pose1)
