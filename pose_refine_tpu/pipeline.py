@@ -476,6 +476,7 @@ class PoseRefiner:
         frame_depth,
         init_poses,
         criteria: icp.ICPConvergenceCriteria = icp.ICPConvergenceCriteria(),
+        _tris=None,
     ):
         """One tracking step: rebuild the scene from this frame's depth AND
         refine, fused into a single program (track_poses_jit). Use in
@@ -498,7 +499,7 @@ class PoseRefiner:
         if squeeze:
             init_poses = init_poses[None]
         refined, results = track_poses_jit(
-            self.tris,
+            self.tris if _tris is None else _tris,
             init_poses,
             jnp.asarray(frame_depth),
             self.proj,
@@ -616,3 +617,21 @@ class MultiModelRefiner(PoseRefiner):
             )
         tris_batch = jnp.take(self.tris_table, ids, axis=0)  # (N, T, 3, 3)
         return super().refine(init_poses, _tris=tris_batch, **kwargs)
+
+    def track(self, frame_depth, model_ids, init_poses=None, **kwargs):
+        """Fused per-frame tracking with per-pose models:
+        (frame_depth, model_ids (N,), init_poses (N, 4, 4))."""
+        if init_poses is None:
+            raise TypeError(
+                "MultiModelRefiner.track(frame_depth, model_ids, init_poses)"
+            )
+        ids = jnp.asarray(np.asarray(model_ids, np.int32).reshape(-1))
+        init_poses = jnp.asarray(init_poses, jnp.float32)
+        if init_poses.ndim == 2:
+            init_poses = init_poses[None]
+        if init_poses.shape[0] != ids.shape[0]:
+            raise ValueError(
+                f"{ids.shape[0]} model ids for {init_poses.shape[0]} poses"
+            )
+        tris_batch = jnp.take(self.tris_table, ids, axis=0)
+        return super().track(frame_depth, init_poses, _tris=tris_batch, **kwargs)

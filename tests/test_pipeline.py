@@ -401,3 +401,21 @@ def test_track_matches_set_scene_plus_refine(setup):
     with pytest.raises(ValueError, match="projective"):
         prt.PoseRefiner(m, K=K, width=W, height=H, scene="nn_bruteforce",
                         use_pallas=False).track(d, pose1)
+
+
+def test_multi_model_track(setup):
+    """MultiModelRefiner.track: fused per-frame step with per-pose models."""
+    m1, K = setup
+    m2 = mesh.make_bumpy_sphere(radius=40.0, subdivisions=2)
+    pose1, pose2, _ = reference_demo_poses()
+    r1 = prt.PoseRenderer(m1, K=K, width=W, height=H, backend="dense")
+    d = np.asarray(r1.render_depth(pose2))[0].astype(np.int32)
+
+    refiner = prt.MultiModelRefiner(
+        [m1, m2], K=K, width=W, height=H, max_points=4096, use_pallas=False,
+        window=64, stride=1,
+    )
+    refined, res = refiner.track(d, [0, 0], np.stack([pose1, pose1]))
+    R_err = np.asarray(refined)[0, :3, :3] @ pose2[:3, :3].T
+    ang = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+    assert ang < 4.0
