@@ -75,20 +75,33 @@ def _solve_damped(AtA, Atb, penalty: float = 0.01):
     return x
 
 
-def _normal_equations(cloud, valid, query_fn):
+def _huber_sqrt_w(b, delta: float):
+    """sqrt of the Huber IRLS weight on the point-to-plane residual:
+    w = 1 inside |b| <= delta, delta/|b| outside. Applied as sqrt(w) to the
+    Jacobian rows and residuals, this solves the Huber-robustified normal
+    equations - the standard guard against sensor outliers that survive the
+    hard association gate (beyond parity: the reference's only robustness is
+    the 0.1 m gate, depth_scene.h:9)."""
+    ab = jnp.abs(b)
+    return jnp.sqrt(jnp.minimum(1.0, delta / jnp.maximum(ab, 1e-12)))
+
+
+def _normal_equations(cloud, valid, query_fn, robust_delta: float = 0.0):
     """One fused association + reduction pass.
 
     Equivalent of the reference's single transform_reduce over thrust__pcd2Ab
     (icp.h:128-209, icp.cu:170-172), but shaped for the MXU: build the masked
     (P, 6) Jacobian rows and reduce AtA/Atb with a matmul instead of packing
-    29-float tuples.
+    29-float tuples. robust_delta > 0 (meters) Huber-weights the rows; the
+    fitness/rmse scores stay unweighted (reference semantics).
     """
     dst, nrm, q_valid = query_fn(cloud)
     v = (q_valid & valid).astype(cloud.dtype)
     diff = dst - cloud
     b = jnp.sum(diff * nrm, axis=-1)
-    arow = jnp.concatenate([jnp.cross(cloud, nrm), nrm], axis=-1) * v[:, None]
-    bm = b * v
+    w = v if robust_delta <= 0.0 else v * _huber_sqrt_w(b, robust_delta)
+    arow = jnp.concatenate([jnp.cross(cloud, nrm), nrm], axis=-1) * w[:, None]
+    bm = b * w
     AtA = jnp.einsum("pi,pj->ij", arow, arow, precision=F32)
     Atb = jnp.einsum("pi,p->i", arow, bm, precision=F32)
     count = jnp.sum(v)
@@ -96,7 +109,7 @@ def _normal_equations(cloud, valid, query_fn):
     return AtA, Atb, count, mse_sum
 
 
-def _normal_equations_packed(cloud, valid, query_fn):
+def _normal_equations_packed(cloud, valid, query_fn, robust_delta: float = 0.0):
     """The reference's "tight" formulation: each point maps to a 29-float
     vector (21 upper-triangular AtA entries + 6 Atb + mse + count) summed in
     one reduction (thrust__pcd2Ab, icp.h:125-209). Numerically equivalent to
@@ -107,12 +120,13 @@ def _normal_equations_packed(cloud, valid, query_fn):
     v = (q_valid & valid).astype(cloud.dtype)
     diff = dst - cloud
     b = jnp.sum(diff * nrm, axis=-1)
-    arow = jnp.concatenate([jnp.cross(cloud, nrm), nrm], axis=-1) * v[:, None]
+    w = v if robust_delta <= 0.0 else v * _huber_sqrt_w(b, robust_delta)
+    arow = jnp.concatenate([jnp.cross(cloud, nrm), nrm], axis=-1) * w[:, None]
     iu, ju = jnp.triu_indices(6)
     packed = jnp.concatenate(
         [
             arow[:, iu] * arow[:, ju],                    # 21 upper-tri AtA
-            arow * (b * v)[:, None],                      # 6 Atb
+            arow * (b * w)[:, None],                      # 6 Atb
             (jnp.sum(diff * diff, axis=-1) * v)[:, None],  # mse (pt-to-pt)
             v[:, None],                                   # count
         ],
@@ -132,6 +146,7 @@ def icp_point_to_plane(
     n_points=None,
     reduction: str = "matmul",
     chunk_iters: int = 8,
+    robust_delta: float = 0.0,
 ):
     """Refine one cloud against a scene.
 
@@ -144,6 +159,9 @@ def icp_point_to_plane(
                 divides by its compacted cloud size, icp.cpp:158).
       reduction: 'matmul' (MXU normal equations - the TPU-native default) or
                  'packed' (the reference's 29-float transform_reduce shape).
+      robust_delta: > 0 (meters) enables Huber-IRLS weighting of the normal
+                 equations with this inlier width; 0 = the reference's plain
+                 least squares. Scores stay unweighted either way.
       chunk_iters: early-exit granularity. The loop runs as a while_loop over
                  chunks of this many fori iterations: convergence still stops
                  the work early (like the reference's while-style exit,
@@ -165,9 +183,10 @@ def icp_point_to_plane(
     # done), but the whole refinement stays ONE device program. (On tunneled
     # TPU runtimes each while_loop iteration costs a host round-trip; a
     # converged lane also wastes no work under vmap either way.)
-    reduce_fn = (
+    base_fn = (
         _normal_equations_packed if reduction == "packed" else _normal_equations
     )
+    reduce_fn = functools.partial(base_fn, robust_delta=float(robust_delta))
 
     def body(it, s: _State) -> _State:
         AtA, Atb, count, mse_sum = reduce_fn(s.cloud, valid, query_fn)

@@ -46,7 +46,7 @@ def _scene_with_gate(scene, max_dist: float):
     jax.jit,
     static_argnames=(
         "width", "height", "max_points", "criteria", "use_pallas",
-        "lift", "window", "stride", "roi", "chunk_iters",
+        "lift", "window", "stride", "roi", "chunk_iters", "robust_delta",
     ),
 )
 def refine_poses_jit(
@@ -65,6 +65,7 @@ def refine_poses_jit(
     stride: int = 2,
     roi=(0, 0, 0, 0),
     chunk_iters: int = 8,
+    robust_delta: float = 0.0,
 ):
     """The fused program: render N poses, lift to clouds, run batched ICP.
 
@@ -114,7 +115,8 @@ def refine_poses_jit(
 
     def one(cloud, valid):
         return icp.icp_point_to_plane(
-            cloud, valid, scene.query, criteria, chunk_iters=chunk_iters
+            cloud, valid, scene.query, criteria, chunk_iters=chunk_iters,
+            robust_delta=robust_delta,
         )
 
     results, _clouds = jax.vmap(one)(clouds, valids)
@@ -155,6 +157,7 @@ class PoseRefiner:
         render_scale: int = 1,
         decimate_mm: float = 0.0,
         scene_voxel_mm: float = 0.0,
+        robust_delta: float = 0.0,
     ):
         self.model = Model.load(model) if isinstance(model, str) else model
         # decimate_mm: vertex-cluster the HYPOTHESIS render mesh to this cell
@@ -230,6 +233,10 @@ class PoseRefiner:
         self._obj_extent_px = 0
         self.roi_margin = float(roi_margin)
         self.roi = (0, 0, 0, 0)
+        # robust_delta (m): Huber-IRLS inlier width for the ICP normal
+        # equations; 0 = the reference's plain least squares within the gate.
+        # Useful against sensor outliers - see scripts/noise_robustness.py.
+        self.robust_delta = float(robust_delta)
         # ICP early-exit granularity; set >= max_iteration+1 for one fused
         # program (best for straggler-bound batches), small for quick
         # convergence workloads (see icp.icp_point_to_plane docs)
@@ -465,6 +472,7 @@ class PoseRefiner:
             stride=self.stride,
             roi=self.roi,
             chunk_iters=self.chunk_iters,
+            robust_delta=self.robust_delta,
         )
         if squeeze:
             refined = refined[0]
@@ -516,6 +524,7 @@ class PoseRefiner:
             stride=self.stride,
             roi=self.roi,
             chunk_iters=self.chunk_iters,
+            robust_delta=self.robust_delta,
         )
         if squeeze:
             refined = refined[0]
@@ -538,13 +547,14 @@ class PoseRefiner:
     jax.jit,
     static_argnames=(
         "width", "height", "max_points", "criteria", "use_pallas",
-        "lift", "window", "stride", "roi", "chunk_iters",
+        "lift", "window", "stride", "roi", "chunk_iters", "robust_delta",
     ),
 )
 def track_poses_jit(
     tris, init_poses, frame_depth, proj, K_render, K_full, max_dist,
     width, height, max_points, criteria, use_pallas,
     lift="window", window=256, stride=2, roi=(0, 0, 0, 0), chunk_iters=8,
+    robust_delta=0.0,
 ):
     """Per-frame scene build FUSED with refinement: one program per frame.
 
@@ -557,7 +567,7 @@ def track_poses_jit(
         tris, init_poses, scene, proj, K_render,
         width=width, height=height, max_points=max_points, criteria=criteria,
         use_pallas=use_pallas, lift=lift, window=window, stride=stride,
-        roi=roi, chunk_iters=chunk_iters,
+        roi=roi, chunk_iters=chunk_iters, robust_delta=robust_delta,
     )
 
 

@@ -10,7 +10,9 @@ are synthetic by definition):
 
 Gates: recovery and ADD-to-truth of the production config vs the clean
 scene. The association gate (0.1 m) and the bilateral normal estimation
-(50 mm diff threshold, common.cpp:32-34) are the designed noise defenses.
+(50 mm diff threshold, common.cpp:32-34) are the designed noise defenses;
+robust_delta adds Huber-IRLS weighting (beyond parity) and is measured
+alongside at each corruption level.
 """
 import jax
 import jax.numpy as jnp
@@ -44,18 +46,21 @@ for name, sigma, holes in cases:
         d = d * (rng.uniform(size=d.shape) >= holes * valid)
     d = np.maximum(np.round(d), 0).astype(np.int32) * valid
 
-    refiner = prt.PoseRefiner(model, K=K, width=640, height=480, render_scale=2,
-                              chunk_iters=64, window=128, stride=2,
-                              max_points=2048, decimate_mm=2.0)
-    refiner.set_scene_depth(d)
-    wall, (refined, res) = time_median(lambda: refiner.refine(poses_j), iters=3)
-    refined = np.asarray(refined)
-    rot = rotation_angle_deg(refined, truth)
-    rec = rot < 3.0
-    if base_ok is None:
-        base_ok = rec
-    adds = add_error(refined, truth, model.vertices)
-    print(f"{name:24s}: recovered {rec.mean()*100:3.0f}% (agree vs clean "
-          f"{(rec == base_ok).mean()*100:3.0f}%) | ADD(recovered) mean "
-          f"{adds[rec].mean():.3f} max {adds[rec].max():.3f} mm | "
-          f"fitness {float(np.asarray(res.fitness).mean()):.3f}", flush=True)
+    for delta, tag in ((0.0, "plain "), (0.02, "huber ")):
+        refiner = prt.PoseRefiner(model, K=K, width=640, height=480,
+                                  render_scale=2, chunk_iters=64, window=128,
+                                  stride=2, max_points=2048, decimate_mm=2.0,
+                                  robust_delta=delta)
+        refiner.set_scene_depth(d)
+        wall, (refined, res) = time_median(lambda: refiner.refine(poses_j), iters=3)
+        refined = np.asarray(refined)
+        rot = rotation_angle_deg(refined, truth)
+        rec = rot < 3.0
+        if base_ok is None:
+            base_ok = rec
+        adds = add_error(refined, truth, model.vertices)
+        print(f"{name:24s} {tag}: recovered {rec.mean()*100:3.0f}% (agree vs "
+              f"clean-plain {(rec == base_ok).mean()*100:3.0f}%) | "
+              f"ADD(recovered) mean {adds[rec].mean():.3f} max "
+              f"{adds[rec].max():.3f} mm | fitness "
+              f"{float(np.asarray(res.fitness).mean()):.3f}", flush=True)

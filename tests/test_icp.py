@@ -310,3 +310,75 @@ def test_solver_f32_refinement_matches_f64_when_ill_conditioned():
     # relative error of the damped solution
     rel = np.linalg.norm(x32 - x64) / max(np.linalg.norm(x64), 1e-12)
     assert rel < 1e-4, f"f32+refinement diverges from f64: rel={rel}"
+
+
+def test_robust_delta_zero_is_exact_reference_path():
+    """robust_delta=0 must leave the normal equations bit-identical to the
+    plain least-squares path."""
+    import jax.numpy as jnp
+
+    from pose_refine_tpu.icp import _normal_equations
+
+    rng = np.random.default_rng(21)
+    cloud = jnp.asarray(rng.normal(0, 0.1, (256, 3)).astype(np.float32))
+    valid = jnp.asarray(rng.uniform(size=256) > 0.2)
+
+    def query(src):
+        return src + 0.01, jnp.broadcast_to(jnp.float32([0, 0, 1]), src.shape), jnp.ones(src.shape[:-1], bool)
+
+    a0 = _normal_equations(cloud, valid, query, robust_delta=0.0)
+    a1 = _normal_equations(cloud, valid, query)
+    for x, y in zip(a0, a1):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_robust_delta_downweights_outliers():
+    """With a fraction of in-gate outlier associations, Huber weighting must
+    recover the true transform markedly better than plain least squares."""
+    import jax.numpy as jnp
+
+    from pose_refine_tpu import geometry
+    from pose_refine_tpu.icp import ICPConvergenceCriteria, icp_point_to_plane
+
+    rng = np.random.default_rng(7)
+    # scene: a bumpy height-field surface z = f(x, y) (full 6-dof constraint)
+    pts = rng.uniform(-0.15, 0.15, (4000, 2)).astype(np.float32)
+    z = (0.3 + 0.05 * np.sin(pts[:, 0] * 40) + 0.05 * np.cos(pts[:, 1] * 33)).astype(np.float32)
+    scene_pts = np.concatenate([pts, z[:, None]], axis=1)
+    # analytic normals of the height field, normalized
+    dzdx = 0.05 * 40 * np.cos(pts[:, 0] * 40)
+    dzdy = -0.05 * 33 * np.sin(pts[:, 1] * 33)
+    n = np.stack([-dzdx, -dzdy, np.ones_like(dzdx)], axis=1)
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    scene_pts = jnp.asarray(scene_pts)
+    scene_nrm = jnp.asarray(n.astype(np.float32))
+
+    # source cloud: the same surface moved by a small true transform, with
+    # 15% of scene points corrupted by in-gate depth outliers (30-80 mm)
+    T_true = np.asarray(geometry.pose_from_Rt(
+        np.asarray(geometry.euler_to_rotation(np.float32([0.02, -0.015, 0.01]))),
+        np.float32([0.008, -0.006, 0.01]),
+    ))
+    corrupt = np.array(scene_pts)  # writable host copy
+    bad = rng.uniform(size=4000) < 0.15
+    corrupt[bad, 2] += rng.uniform(0.03, 0.08, bad.sum()).astype(np.float32)
+    corrupt = jnp.asarray(corrupt)
+
+    def query(src):
+        # association oracle: point i corresponds to corrupted scene row i
+        return corrupt, scene_nrm, jnp.ones(src.shape[:-1], bool)
+
+    src = np.asarray(geometry.transform_points(
+        jnp.asarray(np.linalg.inv(T_true).astype(np.float32)), scene_pts))
+    valid = jnp.ones(4000, bool)
+    crit = ICPConvergenceCriteria(max_iteration=15)
+
+    errs = {}
+    for delta in (0.0, 0.01):
+        res, _ = icp_point_to_plane(jnp.asarray(src), valid, query, crit,
+                                    chunk_iters=64, robust_delta=delta)
+        T_est = np.asarray(res.transformation)
+        R_err = T_est[:3, :3] @ np.asarray(T_true)[:3, :3].T
+        errs[delta] = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+    # robust must cut the rotation error at least in half
+    assert errs[0.01] < 0.5 * errs[0.0], errs
