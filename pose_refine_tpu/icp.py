@@ -253,8 +253,15 @@ def icp_point_to_plane(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("criteria",))
-def icp_point_to_plane_batch(clouds, valids, scene, criteria: ICPConvergenceCriteria = ICPConvergenceCriteria()):
+@functools.partial(
+    jax.jit, static_argnames=("criteria", "chunk_iters", "robust_delta")
+)
+def icp_point_to_plane_batch(
+    clouds, valids, scene,
+    criteria: ICPConvergenceCriteria = ICPConvergenceCriteria(),
+    chunk_iters: int = 8,
+    robust_delta: float = 0.0,
+):
     """vmap of icp_point_to_plane over a pose batch against one shared scene.
 
     This is the TPU-native replacement for the reference's per-thread CUDA
@@ -262,6 +269,8 @@ def icp_point_to_plane_batch(clouds, valids, scene, criteria: ICPConvergenceCrit
     program. clouds (N, P, 3), valids (N, P).
     """
     def one(cloud, valid):
-        return icp_point_to_plane(cloud, valid, scene.query, criteria)
+        return icp_point_to_plane(cloud, valid, scene.query, criteria,
+                                  chunk_iters=chunk_iters,
+                                  robust_delta=robust_delta)
 
     return jax.vmap(one)(clouds, valids)
