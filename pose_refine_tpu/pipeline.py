@@ -315,7 +315,12 @@ class PoseRefiner:
             return True
         s = self.render_scale
         x0, y0, w, h = self.roi
-        guard = 12
+        # hypothesis renders extend past the OBSERVED silhouette (z-perturbed
+        # starts render up to ~10-15% larger - same rationale as the
+        # window=extent*1.15 sizing), so the keep-guard must scale with the
+        # margin the ROI was computed with, not a fixed pixel count
+        extent = int(max(xs.max() - xs.min(), ys.max() - ys.min())) // s
+        guard = max(12, (int(self.roi_margin * extent) + 16) // 2)
         return (
             int(xs.min()) // s - guard >= x0
             and int(ys.min()) // s - guard >= y0
@@ -337,9 +342,10 @@ class PoseRefiner:
             return "bruteforce"
         return "kdtree"
 
-    def set_scene_depth(self, scene_depth):
-        """Build the association structure from an (H, W) mm depth image.
-        Happens once per frame (SURVEY.md 3.3), not per ICP iteration."""
+    def _prepare_frame(self, scene_depth):
+        """Per-frame host-side planning shared by set_scene_depth and
+        track(): unit sanity, auto lift sizing, ROI hysteresis/re-crop, and
+        the no-silent-caps window warning."""
         d_max = float(np.max(np.asarray(scene_depth)))
         if 0.0 < d_max <= 50.0:
             # a depth image whose farthest point is 5 cm is almost certainly
@@ -375,6 +381,11 @@ class PoseRefiner:
                     "Enlarge window= or use lift='compact'.",
                     self._obj_extent_px, self.window,
                 )
+
+    def set_scene_depth(self, scene_depth):
+        """Build the association structure from an (H, W) mm depth image.
+        Happens once per frame (SURVEY.md 3.3), not per ICP iteration."""
+        self._prepare_frame(scene_depth)
         if self.scene_kind == "projective":
             self.scene = SceneProjective.from_depth(
                 scene_depth, self.K, self.max_dist_diff
@@ -441,7 +452,11 @@ class PoseRefiner:
         if schedule:
             poses = init_poses
             for max_dist, iters in schedule:
-                poses, results = self.refine(
+                # explicit base-class call: subclass overrides (e.g.
+                # MultiModelRefiner's (model_ids, poses) signature) must not
+                # capture the recursion - _tris already carries their state
+                poses, results = PoseRefiner.refine(
+                    self,
                     poses,
                     criteria=icp.ICPConvergenceCriteria(
                         criteria.relative_fitness,
@@ -496,12 +511,7 @@ class PoseRefiner:
         if self.scene_kind != "projective":
             raise ValueError("track() supports scene='projective' only; "
                              "use set_scene_depth + refine for NN scenes")
-        stats = self._object_stats(frame_depth)
-        if self._auto_window or self._auto_points:
-            self._tune_lift(stats)
-        if self.auto_roi and not self._roi_still_fits(stats):
-            self.roi = self._compute_roi(stats)
-            logger.info("auto ROI (x, y, w, h) = %s (render px)", self.roi)
+        self._prepare_frame(frame_depth)
         init_poses = jnp.asarray(init_poses, jnp.float32)
         squeeze = init_poses.ndim == 2
         if squeeze:
@@ -613,20 +623,44 @@ class MultiModelRefiner(PoseRefiner):
             padded.append(t)
         self.tris_table = jnp.asarray(np.stack(padded))  # (M, T, 3, 3)
 
+    def _per_pose_tris(self, model_ids, init_poses):
+        """Validate (model_ids, poses) and gather the per-pose triangle
+        tables. Returns (tris (N,T,3,3), poses (N,4,4), squeeze)."""
+        ids_np = np.asarray(model_ids, np.int32).reshape(-1)
+        if ids_np.size and (ids_np.min() < 0 or ids_np.max() >= len(self.models)):
+            # jnp.take would silently clamp/fill out-of-bounds rows and the
+            # garbage render then "succeeds" with fitness 0 - fail loudly
+            raise ValueError(
+                f"model_ids must be in [0, {len(self.models)}), got "
+                f"[{ids_np.min()}, {ids_np.max()}]"
+            )
+        init_poses = jnp.asarray(init_poses, jnp.float32)
+        squeeze = init_poses.ndim == 2
+        if squeeze:
+            init_poses = init_poses[None]
+        if init_poses.shape[0] != ids_np.shape[0]:
+            raise ValueError(
+                f"{ids_np.shape[0]} model ids for {init_poses.shape[0]} poses"
+            )
+        tris = jnp.take(self.tris_table, jnp.asarray(ids_np), axis=0)
+        return tris, init_poses, squeeze
+
+    @staticmethod
+    def _maybe_squeeze(squeeze, refined, results):
+        if squeeze:
+            refined = refined[0]
+            results = jax.tree.map(lambda x: x[0], results)
+        return refined, results
+
     def refine(self, model_ids, init_poses=None, **kwargs):
-        """(model_ids (N,), init_poses (N, 4, 4)) -> refined + results."""
+        """(model_ids (N,), init_poses (N, 4, 4)) -> refined + results.
+        A single (4, 4) pose with a scalar id returns unbatched results,
+        matching PoseRefiner.refine."""
         if init_poses is None:
             raise TypeError("MultiModelRefiner.refine(model_ids, init_poses)")
-        ids = jnp.asarray(np.asarray(model_ids, np.int32).reshape(-1))
-        init_poses = jnp.asarray(init_poses, jnp.float32)
-        if init_poses.ndim == 2:
-            init_poses = init_poses[None]
-        if init_poses.shape[0] != ids.shape[0]:
-            raise ValueError(
-                f"{ids.shape[0]} model ids for {init_poses.shape[0]} poses"
-            )
-        tris_batch = jnp.take(self.tris_table, ids, axis=0)  # (N, T, 3, 3)
-        return super().refine(init_poses, _tris=tris_batch, **kwargs)
+        tris, poses, squeeze = self._per_pose_tris(model_ids, init_poses)
+        refined, results = super().refine(poses, _tris=tris, **kwargs)
+        return self._maybe_squeeze(squeeze, refined, results)
 
     def track(self, frame_depth, model_ids, init_poses=None, **kwargs):
         """Fused per-frame tracking with per-pose models:
@@ -635,13 +669,6 @@ class MultiModelRefiner(PoseRefiner):
             raise TypeError(
                 "MultiModelRefiner.track(frame_depth, model_ids, init_poses)"
             )
-        ids = jnp.asarray(np.asarray(model_ids, np.int32).reshape(-1))
-        init_poses = jnp.asarray(init_poses, jnp.float32)
-        if init_poses.ndim == 2:
-            init_poses = init_poses[None]
-        if init_poses.shape[0] != ids.shape[0]:
-            raise ValueError(
-                f"{ids.shape[0]} model ids for {init_poses.shape[0]} poses"
-            )
-        tris_batch = jnp.take(self.tris_table, ids, axis=0)
-        return super().track(frame_depth, init_poses, _tris=tris_batch, **kwargs)
+        tris, poses, squeeze = self._per_pose_tris(model_ids, init_poses)
+        refined, results = super().track(frame_depth, poses, _tris=tris, **kwargs)
+        return self._maybe_squeeze(squeeze, refined, results)

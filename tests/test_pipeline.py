@@ -419,3 +419,39 @@ def test_multi_model_track(setup):
     R_err = np.asarray(refined)[0, :3, :3] @ pose2[:3, :3].T
     ang = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
     assert ang < 4.0
+
+
+def test_multi_model_schedule_and_validation(setup):
+    """Regressions from review: (a) schedule= must compose with
+    MultiModelRefiner (the schedule recursion used to dispatch to the
+    subclass override and crash); (b) out-of-range model ids fail loudly;
+    (c) single-pose calls return unbatched results like PoseRefiner."""
+    m1, K = setup
+    m2 = mesh.make_bumpy_sphere(radius=40.0, subdivisions=2)
+    pose1, pose2, _ = reference_demo_poses()
+    r1 = prt.PoseRenderer(m1, K=K, width=W, height=H, backend="dense")
+    d = np.asarray(r1.render_depth(pose2))[0].astype(np.int32)
+
+    refiner = prt.MultiModelRefiner(
+        [m1, m2], K=K, width=W, height=H, max_points=4096, use_pallas=False,
+        window=64, stride=1,
+    )
+    refiner.set_scene_depth(d)
+
+    # (a) schedule composes
+    refined, res = refiner.refine([0], pose1[None],
+                                  schedule=[(0.3, 10), (0.1, 21)])
+    R_err = np.asarray(refined)[0, :3, :3] @ pose2[:3, :3].T
+    ang = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+    assert ang < 4.0
+
+    # (b) id range validation
+    with pytest.raises(ValueError, match="model_ids"):
+        refiner.refine([2], pose1[None])
+    with pytest.raises(ValueError, match="model_ids"):
+        refiner.refine([-1], pose1[None])
+
+    # (c) unbatched single-pose results, like PoseRefiner
+    single, res_s = refiner.refine(0, pose1)
+    assert np.asarray(single).shape == (4, 4)
+    float(res_s.fitness)  # scalar
