@@ -39,7 +39,12 @@ for cell in (0.0, 2.0, 3.0, 4.0, 6.0):
     if base_ok is None:
         base_ok = rec
     adds = add_error(refined, truth, model.vertices)
+    flips = np.nonzero(rec != base_ok)[0]
+    flip_txt = "" if not len(flips) else (
+        " | flips: " + ", ".join(
+            f"{i}({'RECOVERS' if rec[i] else 'fails'})" for i in flips)
+    )
     print(f"cell {cell:3.1f} mm ({refiner.tris.shape[0]:6d} tris): wall {wall*1000:6.1f} ms "
           f"({N/wall:5.0f} poses/s) | recovered {rec.mean()*100:3.0f}% | verdict agree "
           f"{(rec == base_ok).mean()*100:3.0f}% | ADD(recovered) mean "
-          f"{adds[rec].mean():.3f} max {adds[rec].max():.3f} mm", flush=True)
+          f"{adds[rec].mean():.3f} max {adds[rec].max():.3f} mm{flip_txt}", flush=True)
