@@ -28,7 +28,7 @@ model, tris, K, proj, truth0, _ = setup(4)
 
 refiner = prt.PoseRefiner(model, K=K, width=640, height=480, render_scale=2,
                           chunk_iters=64, window=128, stride=2,
-                          max_points=2048, decimate_mm=2.0)
+                          max_points=2048, decimate_mm=4.0)
 
 rng = np.random.default_rng(3)
 truth = truth0.copy()
