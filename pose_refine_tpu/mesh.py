@@ -117,8 +117,22 @@ def load_ply(path: str):
     body = data[header_end:]
     vertices, faces = None, None
 
+    def _index_list_prop(props):
+        """Which list property carries the face vertex indices: match the
+        standard names first, else the FIRST list property. (A face element
+        can carry several lists - e.g. MeshLab wedge texcoords - and reading
+        'the last list seen' silently fan-triangulates texcoords as vertex
+        indices.)"""
+        lists = [p[2] for p in props if p[0] == "list"]
+        for cand in ("vertex_indices", "vertex_index"):
+            if cand in lists:
+                return cand
+        return lists[0] if lists else None
+
     if fmt == "ascii":
-        # Tokenize the whole body once; consume per element.
+        # Tokenize the whole body once; consume per element. Every property
+        # of every row is consumed explicitly (scalar = 1 token, list =
+        # 1 + n tokens) so elements mixing scalars and lists stay aligned.
         tokens = body.split()
         pos = 0
         for name, count, props in elements:
@@ -130,24 +144,22 @@ def load_ply(path: str):
                 names = [p[2] for p in props]
                 ix, iy, iz = names.index("x"), names.index("y"), names.index("z")
                 vertices = arr[:, [ix, iy, iz]].astype(np.float32)
-            elif name == "face":
-                face_rows = []
-                for _ in range(count):
-                    n = int(tokens[pos]); pos += 1
-                    idx = [int(t) for t in tokens[pos: pos + n]]
-                    pos += n
-                    if n >= 3:
-                        for k in range(1, n - 1):  # fan triangulation
-                            face_rows.append((idx[0], idx[k], idx[k + 1]))
+                continue
+            idx_prop = _index_list_prop(props) if name == "face" else None
+            face_rows = []
+            for _ in range(count):
+                for kind, _dts, pname in props:
+                    if kind == "scalar":
+                        pos += 1
+                    else:
+                        n = int(tokens[pos]); pos += 1
+                        if pname == idx_prop and n >= 3:
+                            idx = [int(t) for t in tokens[pos: pos + n]]
+                            for k in range(1, n - 1):  # fan triangulation
+                                face_rows.append((idx[0], idx[k], idx[k + 1]))
+                        pos += n
+            if name == "face":
                 faces = np.array(face_rows, dtype=np.int32) if face_rows else np.zeros((0, 3), np.int32)
-            else:
-                # skip unknown ASCII element conservatively: must count tokens
-                per_row = sum(1 for k, _, _ in props if k == "scalar")
-                if any(k == "list" for k, _, _ in props):
-                    for _ in range(count):
-                        n = int(tokens[pos]); pos += 1 + n
-                else:
-                    pos += count * per_row
     else:  # binary_little_endian
         off = 0
         for name, count, props in elements:
@@ -160,21 +172,25 @@ def load_ply(path: str):
                         [arr["x"], arr["y"], arr["z"]], axis=-1
                     ).astype(np.float32)
             else:
-                # element with list property: parse row by row (faces)
+                # element with list properties: parse row by row, taking face
+                # indices ONLY from the designated index list (other lists -
+                # texcoords etc. - are skipped, not misread as indices)
+                idx_prop = _index_list_prop(props) if name == "face" else None
                 face_rows = []
                 for _ in range(count):
-                    row_vals = []
-                    for kind, dts, _pname in props:
+                    row_vals = None
+                    for kind, dts, pname in props:
                         if kind == "scalar":
                             off += np.dtype("<" + dts).itemsize
                         else:
                             cnt_dt, idx_dt = np.dtype("<" + dts[0]), np.dtype("<" + dts[1])
                             n = int(np.frombuffer(body, cnt_dt, 1, off)[0])
                             off += cnt_dt.itemsize
-                            idx = np.frombuffer(body, idx_dt, n, off)
+                            vals = np.frombuffer(body, idx_dt, n, off)
                             off += idx_dt.itemsize * n
-                            row_vals = idx
-                    if name == "face" and len(row_vals) >= 3:
+                            if pname == idx_prop:
+                                row_vals = vals
+                    if row_vals is not None and len(row_vals) >= 3:
                         for k in range(1, len(row_vals) - 1):
                             face_rows.append((row_vals[0], row_vals[k], row_vals[k + 1]))
                 if name == "face":
@@ -281,6 +297,11 @@ def simplify_vertex_clustering(model: Model, cell_size: float) -> Model:
     v = model.vertices.astype(np.float64)
     lo = v.min(axis=0)
     cell = np.maximum(np.floor((v - lo) / float(cell_size)).astype(np.int64), 0)
+    if cell.max() >= (1 << 21):  # 21 bits per axis in the packed key below
+        raise ValueError(
+            f"mesh spans {cell.max() + 1} cells on one axis (> 2^21): "
+            f"cell_size {cell_size} is too small for this extent/unit"
+        )
     key = (cell[:, 0] << 42) | (cell[:, 1] << 21) | cell[:, 2]
     uniq, inverse = np.unique(key, return_inverse=True)
 

@@ -356,31 +356,27 @@ class PoseRefiner:
                 "pipeline expects millimeters (uint16/int32 mm)", d_max,
             )
         stats = self._object_stats(scene_depth)
+        ys, xs = stats
+        if len(xs):  # extent drives the crop warning, with or without auto_roi
+            self._obj_extent_px = int(
+                max(xs.max() - xs.min(), ys.max() - ys.min())
+            ) // self.render_scale
         if self._auto_window or self._auto_points:
             self._tune_lift(stats)
-        if self.auto_roi:
-            if self._roi_still_fits(stats):
-                # keep the compiled program; refresh only the extent used
-                # by the window-crop warning below
-                ys, xs = stats
-                if len(xs):
-                    self._obj_extent_px = int(
-                        max(xs.max() - xs.min(), ys.max() - ys.min())
-                    ) // self.render_scale
-            else:
-                self.roi = self._compute_roi(stats)
-                logger.info("auto ROI (x, y, w, h) = %s (render px)", self.roi)
-            # no silent caps: the window lift crops a window x window pixel
-            # region around the rendered object (stride subsamples INSIDE
-            # it - it does not extend coverage); a larger object loses
-            # boundary points without this check
-            if self.lift == "window" and self._obj_extent_px > self.window:
-                logger.warning(
-                    "object extent ~%d render px exceeds the window lift "
-                    "crop of %d px: boundary points will be cropped. "
-                    "Enlarge window= or use lift='compact'.",
-                    self._obj_extent_px, self.window,
-                )
+        if self.auto_roi and not self._roi_still_fits(stats):
+            self.roi = self._compute_roi(stats)
+            logger.info("auto ROI (x, y, w, h) = %s (render px)", self.roi)
+        # no silent caps: the window lift crops a window x window pixel
+        # region around the rendered object (stride subsamples INSIDE it -
+        # it does not extend coverage); a larger object loses boundary
+        # points without this check (applies with or without auto_roi)
+        if self.lift == "window" and self._obj_extent_px > self.window:
+            logger.warning(
+                "object extent ~%d render px exceeds the window lift "
+                "crop of %d px: boundary points will be cropped. "
+                "Enlarge window= or use lift='compact'.",
+                self._obj_extent_px, self.window,
+            )
 
     def set_scene_depth(self, scene_depth):
         """Build the association structure from an (H, W) mm depth image.
@@ -511,6 +507,12 @@ class PoseRefiner:
         if self.scene_kind != "projective":
             raise ValueError("track() supports scene='projective' only; "
                              "use set_scene_depth + refine for NN scenes")
+        init_arr = np.asarray(init_poses)
+        if init_arr.shape[-2:] != (4, 4) or init_arr.ndim not in (2, 3):
+            raise ValueError(
+                f"init_poses must be (4, 4) or (N, 4, 4) model->camera "
+                f"transforms, got {init_arr.shape}"
+            )
         self._prepare_frame(frame_depth)
         init_poses = jnp.asarray(init_poses, jnp.float32)
         squeeze = init_poses.ndim == 2

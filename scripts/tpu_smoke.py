@@ -28,7 +28,7 @@ print(f"render: coverage {cov*100:.1f}%, depth {d[d>0].min()}..{d[d>0].max()} mm
 # 2. production-config refinement of 256 perturbed hypotheses
 refiner = prt.PoseRefiner(model, K=K, width=640, height=480,
                           render_scale=2, max_points=2048, window=128,
-                          stride=2, chunk_iters=64, decimate_mm=2.0)
+                          stride=2, chunk_iters=64, decimate_mm=4.0)
 refiner.set_scene_depth(d)
 out = refiner.refine(bad); sync((out[0], out[1].fitness))      # compile
 t0 = time.perf_counter()

@@ -95,3 +95,56 @@ def test_benchmark_model_fallback(monkeypatch):
     assert mesh.find_reference_ply() is None
     m = mesh.load_benchmark_model()
     assert m.n_tris > 10000
+
+
+def test_ply_face_element_with_extra_list_property(tmp_path):
+    """A face element carrying a second list (MeshLab wedge texcoords) must
+    not have its texcoords misread as vertex indices (binary), and mixed
+    scalar+list elements must keep the token stream aligned (ascii)."""
+    import struct
+
+    # --- binary: face = vertex_indices list + texcoord list ---
+    p = tmp_path / "tex.ply"
+    header = (
+        b"ply\nformat binary_little_endian 1.0\n"
+        b"element vertex 3\n"
+        b"property float x\nproperty float y\nproperty float z\n"
+        b"element face 1\n"
+        b"property list uchar int vertex_indices\n"
+        b"property list uchar float texcoord\n"
+        b"end_header\n"
+    )
+    body = b"".join(struct.pack("<fff", *v) for v in
+                    [(0, 0, 0), (1, 0, 0), (0, 1, 0)])
+    body += struct.pack("<B3i", 3, 0, 1, 2)              # the real face
+    body += struct.pack("<B6f", 6, *([0.25] * 6))        # wedge texcoords
+    p.write_bytes(header + body)
+    verts, faces = mesh.load_ply(str(p))
+    assert verts.shape == (3, 3)
+    np.testing.assert_array_equal(faces, [[0, 1, 2]])
+
+    # --- ascii: an edge element mixing a scalar and a list before faces ---
+    p2 = tmp_path / "mixed.ply"
+    p2.write_text(
+        "ply\nformat ascii 1.0\n"
+        "element vertex 3\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "element edge 1\n"
+        "property int flag\n"
+        "property list uchar int verts\n"
+        "element face 1\n"
+        "property list uchar int vertex_indices\n"
+        "end_header\n"
+        "0 0 0\n1 0 0\n0 1 0\n"
+        "7 2 0 1\n"
+        "3 0 1 2\n"
+    )
+    verts2, faces2 = mesh.load_ply(str(p2))
+    assert verts2.shape == (3, 3)
+    np.testing.assert_array_equal(faces2, [[0, 1, 2]])
+
+
+def test_simplify_rejects_absurd_cell_size():
+    m = mesh.make_bumpy_sphere(radius=50.0, subdivisions=2)
+    with pytest.raises(ValueError, match="2\\^21"):
+        mesh.simplify_vertex_clustering(m, cell_size=1e-6)
