@@ -455,3 +455,46 @@ def test_multi_model_schedule_and_validation(setup):
     single, res_s = refiner.refine(0, pose1)
     assert np.asarray(single).shape == (4, 4)
     float(res_s.fitness)  # scalar
+
+
+def test_tracking_loop_roi_stability(setup):
+    """A drifting object must re-crop the ROI only occasionally (each change
+    recompiles the fused program) while tracking stays accurate."""
+    m, K = setup
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    refiner = prt.PoseRefiner(m, K=K, width=W, height=H, max_points=4096,
+                              use_pallas=False, window=64, stride=1)
+    rng = np.random.default_rng(9)
+    truth = pose2.copy()
+    est = pose2.copy()
+    rois = []
+    for frame in range(6):
+        truth = np.asarray(geometry.pose_from_Rt(
+            truth[:3, :3], truth[:3, 3] + np.float32([3, 2, 0])))
+        d = np.asarray(r.render_depth(truth))[0].astype(np.int32)
+        refined, res = refiner.track(d, est)
+        est = np.asarray(refined)
+        rois.append(refiner.roi)
+        t_err = np.abs(est[:3, 3] - truth[:3, 3]).max()
+        assert t_err < 6.0, f"frame {frame}: lost track ({t_err} mm)"
+    # few-px drift per frame: the crop must persist across most frames
+    assert len(set(rois)) <= 2, f"ROI churned: {rois}"
+
+
+def test_streaming_unfenced_calls_are_correct(setup):
+    """Back-to-back refine calls without fencing (the streaming serving
+    pattern) must produce the same results as fenced calls."""
+    from pose_refine_tpu.utils.sync import sync
+
+    m, K = setup
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    refiner = prt.PoseRefiner(m, K=K, width=W, height=H, max_points=4096,
+                              use_pallas=False, window=64, stride=1)
+    refiner.set_scene_depth(np.asarray(r.render_depth(pose2))[0].astype(np.int32))
+    fenced, _ = refiner.refine(pose1)
+    outs = [refiner.refine(pose1) for _ in range(3)]  # no fence in between
+    sync([o[0] for o in outs])
+    for o, _res in outs:
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(fenced))
