@@ -77,10 +77,17 @@ def refine_poses_jit(
     if use_pallas:
         from pose_refine_tpu.ops.rasterize_pallas import rasterize_pallas
 
-        # 16px subtiles fit the halved block bboxes of down-sampled renders
-        # better (measured: 140 vs 154 ms at batch 256, render_scale=2);
-        # 32px wins at full resolution (278 vs 343 ms, PERF_NOTES)
-        variant = "tile16" if max(width, height) <= 384 else "tile32"
+        # subtile size follows the BLOCK BBOX size: 16 px subtiles fit the
+        # small per-128-tri block bboxes of dense meshes at down-sampled
+        # renders (140 vs 154 ms at batch 256, rs=2, 17k tris); decimation
+        # grows the triangles - and with them the block bboxes - until 32 px
+        # wins again (37 vs 45 ms device at 5.2k tris), as it always does at
+        # full resolution (278 vs 343 ms). Triangle count is the static
+        # proxy for bbox size (tris.shape[-3] covers per-pose (N,T,3,3)
+        # multi-model tables too).
+        small_render = max(width, height) <= 384
+        dense_mesh = tris.shape[-3] >= 12288
+        variant = "tile16" if (small_render and dense_mesh) else "tile32"
         depth = rasterize_pallas(
             tris, init_poses, width, height, proj, roi=roi, variant=variant
         )
