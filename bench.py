@@ -1,11 +1,13 @@
 """Headline benchmark: poses refined per second, batch-256, obj_06 workload.
 
 Runs the full production pipeline on the default (TPU) backend:
-  render 256 pose hypotheses of the benchmark mesh (Pallas kernel, at the
-  reference's down_sample=2 raster - pose_renderer.cpp:28-29) -> depth->cloud
-  (static budget) -> projective point-to-plane ICP against the full-res
-  observed scene, all in one jitted program; scene built once per frame (its
-  cost is amortized and reported separately).
+  render 256 pose hypotheses of the benchmark mesh (Pallas kernel at the
+  reference's down_sample=2 raster - pose_renderer.cpp:28-29 - from a 4 mm
+  vertex-clustered render mesh) -> scatter-free window lift + lossless
+  top_k to 2048-point clouds -> projective point-to-plane ICP against the
+  full-res observed scene, all in ONE jitted program; scene built once per
+  frame (its cost is amortized and reported separately). Every knob is a
+  measured, quality-gated choice - see PERF_NOTES.md.
 
 Prints exactly ONE JSON line to stdout:
   {"metric": ..., "value": N, "unit": "poses/sec", "vs_baseline": N}
