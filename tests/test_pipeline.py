@@ -498,3 +498,22 @@ def test_streaming_unfenced_calls_are_correct(setup):
     sync([o[0] for o in outs])
     for o, _res in outs:
         np.testing.assert_array_equal(np.asarray(o), np.asarray(fenced))
+
+
+def test_multi_model_three_models_same_size(setup):
+    """3+ models, equal triangle counts (padding no-op): ids select the
+    right mesh."""
+    m1, K = setup
+    m2 = mesh.make_bumpy_sphere(radius=40.0, subdivisions=3)
+    m3 = mesh.make_bumpy_sphere(radius=60.0, subdivisions=3)
+    assert m1.tris.shape == m2.tris.shape == m3.tris.shape
+    r = prt.MultiModelRefiner([m1, m2, m3], K=K, width=W, height=H,
+                              use_pallas=False)
+    assert r.tris_table.shape[0] == 3
+    pose1, pose2, _ = reference_demo_poses()
+    rr = prt.PoseRenderer(m3, K=K, width=W, height=H, backend="dense")
+    r.set_scene_depth(np.asarray(rr.render_depth(pose2))[0].astype(np.int32))
+    refined, res = r.refine([2], pose1[None])  # the observed model
+    R_err = np.asarray(refined)[0, :3, :3] @ pose2[:3, :3].T
+    ang = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+    assert ang < 4.0
