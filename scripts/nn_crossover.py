@@ -67,15 +67,16 @@ for extra in (0, 25_000, 75_000, 175_000):
     print(f"S={len(pts):7d}: plain {t_plain*1000:7.2f} ms  gated {t_gated*1000:7.2f} ms  "
           f"speedup {t_plain/t_gated:4.1f}x  exact-in-gate {ok}", flush=True)
 
-# ---- full NN pipeline (bench config) with the gated kernel ----
+# ---- full NN pipeline (production config: 2048-pt clouds, 4 mm render
+# decimation, 2 mm scene voxels - matches the bench NN metric) ----
 N = 256
 d_rot = np.asarray(geometry.euler_to_rotation(rng.uniform(-0.17, 0.17, (N, 3)).astype(np.float32)))
 poses = np.asarray(geometry.pose_from_Rt(
     jnp.einsum("nij,jk->nik", d_rot, truth[:3, :3]),
     truth[:3, 3] + rng.uniform(-20, 20, (N, 3)).astype(np.float32)))
 refiner = prt.PoseRefiner(model, K=K, width=W, height=H, scene="nn_bruteforce",
-                          render_scale=2, max_points=4096, window=128, stride=2,
-                          chunk_iters=64)
+                          render_scale=2, max_points=2048, window=128, stride=2,
+                          chunk_iters=64, decimate_mm=4.0, scene_voxel_mm=2.0)
 refiner.set_scene_depth(scene_depth)
 poses_j = jax.device_put(jnp.asarray(poses))
 r, res = refiner.refine(poses_j); sync((r,))
