@@ -129,6 +129,20 @@ def load_ply(path: str):
                 return cand
         return lists[0] if lists else None
 
+    def _xyz_columns(props):
+        """Positions of x/y/z among the SCALAR properties of a vertex
+        element (list properties are consumed separately). The reference's
+        Assimp loader accepts arbitrary vertex layouts (renderer.cpp:11-150);
+        a vertex element without scalar x/y/z has no positions to load."""
+        scalar_names = [p[2] for p in props if p[0] == "scalar"]
+        try:
+            return [scalar_names.index(a) for a in ("x", "y", "z")]
+        except ValueError:
+            raise ValueError(
+                f"{path}: vertex element has no scalar x/y/z properties "
+                f"(found {scalar_names})"
+            ) from None
+
     if fmt == "ascii":
         # Tokenize the whole body once; consume per element. Every property
         # of every row is consumed explicitly (scalar = 1 token, list =
@@ -141,15 +155,19 @@ def load_ply(path: str):
                 arr = np.array(tokens[pos: pos + count * n_props], dtype=np.float64)
                 arr = arr.reshape(count, n_props)
                 pos += count * n_props
-                names = [p[2] for p in props]
-                ix, iy, iz = names.index("x"), names.index("y"), names.index("z")
+                ix, iy, iz = _xyz_columns(props)
                 vertices = arr[:, [ix, iy, iz]].astype(np.float32)
                 continue
             idx_prop = _index_list_prop(props) if name == "face" else None
+            xyz_cols = _xyz_columns(props) if name == "vertex" else None
             face_rows = []
+            vert_rows = []
             for _ in range(count):
+                row_scalars = [] if xyz_cols is not None else None
                 for kind, _dts, pname in props:
                     if kind == "scalar":
+                        if row_scalars is not None:
+                            row_scalars.append(tokens[pos])
                         pos += 1
                     else:
                         n = int(tokens[pos]); pos += 1
@@ -158,8 +176,14 @@ def load_ply(path: str):
                             for k in range(1, n - 1):  # fan triangulation
                                 face_rows.append((idx[0], idx[k], idx[k + 1]))
                         pos += n
+                if row_scalars is not None:
+                    vert_rows.append([row_scalars[c] for c in xyz_cols])
             if name == "face":
                 faces = np.array(face_rows, dtype=np.int32) if face_rows else np.zeros((0, 3), np.int32)
+            if name == "vertex":
+                vertices = (
+                    np.array(vert_rows, dtype=np.float64).reshape(-1, 3).astype(np.float32)
+                )
     else:  # binary_little_endian
         off = 0
         for name, count, props in elements:
@@ -168,20 +192,30 @@ def load_ply(path: str):
                 arr = np.frombuffer(body, dtype=dt, count=count, offset=off)
                 off += dt.itemsize * count
                 if name == "vertex":
+                    _xyz_columns(props)  # specific error when x/y/z missing
                     vertices = np.stack(
                         [arr["x"], arr["y"], arr["z"]], axis=-1
                     ).astype(np.float32)
             else:
                 # element with list properties: parse row by row, taking face
                 # indices ONLY from the designated index list (other lists -
-                # texcoords etc. - are skipped, not misread as indices)
+                # texcoords etc. - are skipped, not misread as indices); a
+                # VERTEX element with lists still yields its scalar x/y/z
                 idx_prop = _index_list_prop(props) if name == "face" else None
+                xyz_cols = _xyz_columns(props) if name == "vertex" else None
                 face_rows = []
+                vert_rows = []
                 for _ in range(count):
                     row_vals = None
+                    row_scalars = [] if xyz_cols is not None else None
                     for kind, dts, pname in props:
                         if kind == "scalar":
-                            off += np.dtype("<" + dts).itemsize
+                            sdt = np.dtype("<" + dts)
+                            if row_scalars is not None:
+                                row_scalars.append(
+                                    float(np.frombuffer(body, sdt, 1, off)[0])
+                                )
+                            off += sdt.itemsize
                         else:
                             cnt_dt, idx_dt = np.dtype("<" + dts[0]), np.dtype("<" + dts[1])
                             n = int(np.frombuffer(body, cnt_dt, 1, off)[0])
@@ -193,8 +227,14 @@ def load_ply(path: str):
                     if row_vals is not None and len(row_vals) >= 3:
                         for k in range(1, len(row_vals) - 1):
                             face_rows.append((row_vals[0], row_vals[k], row_vals[k + 1]))
+                    if row_scalars is not None:
+                        vert_rows.append([row_scalars[c] for c in xyz_cols])
                 if name == "face":
                     faces = np.array(face_rows, dtype=np.int32) if face_rows else np.zeros((0, 3), np.int32)
+                if name == "vertex":
+                    vertices = (
+                        np.array(vert_rows, dtype=np.float64).reshape(-1, 3).astype(np.float32)
+                    )
 
     if vertices is None:
         raise ValueError(f"{path}: PLY has no vertex element")

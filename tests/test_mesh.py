@@ -144,6 +144,65 @@ def test_ply_face_element_with_extra_list_property(tmp_path):
     np.testing.assert_array_equal(faces2, [[0, 1, 2]])
 
 
+def test_ply_vertex_element_with_list_property(tmp_path):
+    """Vertex elements carrying a list property (e.g. per-vertex adjacency)
+    must still yield x/y/z - the reference's Assimp loader handles arbitrary
+    PLY layouts (renderer.cpp:11-150)."""
+    import struct
+
+    # --- ascii ---
+    p = tmp_path / "vlist.ply"
+    p.write_text(
+        "ply\nformat ascii 1.0\n"
+        "element vertex 3\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property list uchar int adjacency\n"
+        "element face 1\n"
+        "property list uchar int vertex_indices\n"
+        "end_header\n"
+        "0 0 0 2 1 2\n"
+        "1 0 0 1 0\n"
+        "0 1 0 0\n"
+        "3 0 1 2\n"
+    )
+    verts, faces = mesh.load_ply(str(p))
+    np.testing.assert_allclose(verts, [[0, 0, 0], [1, 0, 0], [0, 1, 0]])
+    np.testing.assert_array_equal(faces, [[0, 1, 2]])
+
+    # --- binary: scalar intensity AFTER the list, exercising alignment ---
+    p2 = tmp_path / "vlist_bin.ply"
+    header = (
+        b"ply\nformat binary_little_endian 1.0\n"
+        b"element vertex 2\n"
+        b"property float x\nproperty float y\nproperty float z\n"
+        b"property list uchar int adjacency\n"
+        b"property float intensity\n"
+        b"element face 1\n"
+        b"property list uchar int vertex_indices\n"
+        b"end_header\n"
+    )
+    body = struct.pack("<fff", 1, 2, 3) + struct.pack("<B2i", 2, 0, 1) + struct.pack("<f", 0.5)
+    body += struct.pack("<fff", 4, 5, 6) + struct.pack("<B", 0) + struct.pack("<f", 0.25)
+    body += struct.pack("<B3i", 3, 0, 1, 0)
+    p2.write_bytes(header + body)
+    verts2, faces2 = mesh.load_ply(str(p2))
+    np.testing.assert_allclose(verts2, [[1, 2, 3], [4, 5, 6]])
+    np.testing.assert_array_equal(faces2, [[0, 1, 0]])
+
+
+def test_ply_vertex_without_xyz_raises_specific_error(tmp_path):
+    p = tmp_path / "noxyz.ply"
+    p.write_text(
+        "ply\nformat ascii 1.0\n"
+        "element vertex 1\n"
+        "property float u\nproperty float v\n"
+        "end_header\n"
+        "0.5 0.5\n"
+    )
+    with pytest.raises(ValueError, match="no scalar x/y/z"):
+        mesh.load_ply(str(p))
+
+
 def test_simplify_rejects_absurd_cell_size():
     m = mesh.make_bumpy_sphere(radius=50.0, subdivisions=2)
     with pytest.raises(ValueError, match="2\\^21"):
