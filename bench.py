@@ -74,8 +74,10 @@ def main():
     # RECOVERY - and ADD(recovered) improves 0.587 -> 0.574 mm; 2 mm is the
     # bit-identical-verdicts option (1313/s), 6 mm degrades ADD. The
     # full-mesh number is a secondary metric below.
+    # chunk_iters is left at its "auto" default: on TPU it resolves to the
+    # fused max_iteration+1 program (measured equal to the old manual 64)
     CFG = dict(render_scale=2, max_points=2048, window=128, stride=2,
-               chunk_iters=64, decimate_mm=4.0)
+               decimate_mm=4.0)
 
     model = mesh.load_benchmark_model()
     tris = jnp.asarray(model.tris[mesh.morton_order(model.tris)])
@@ -122,31 +124,13 @@ def main():
     refiner.set_scene_depth(scene_depth)
     scene_init_s = time.perf_counter() - t0
 
+    # PoseRefiner auto-shards the pose batch over all attached chips (pure
+    # DP over ICI, devices=None default) - no separate multi-chip path
     n_dev = len(jax.devices())
-    if n_dev > 1 and N_POSES % n_dev == 0:
-        # shard the pose batch over all attached chips (pure DP over ICI)
-        from pose_refine_tpu.parallel import make_mesh, refine_poses_sharded
+    poses_dev = jax.device_put(jnp.asarray(poses))
 
-        dev_mesh = make_mesh()
-        scene_obj = refiner.scene
-
-        def run():
-            # identical pipeline configuration as the single-chip path
-            # (render_scale folded into the render dims / K / roi;
-            # refiner.tris carries the decimated render mesh)
-            return refine_poses_sharded(
-                refiner.tris, poses, scene_obj, proj, refiner.K_render,
-                refiner.render_w, refiner.render_h,
-                max_points=CFG["max_points"], mesh=dev_mesh,
-                use_pallas=use_pallas, window=CFG["window"],
-                stride=CFG["stride"], chunk_iters=CFG["chunk_iters"],
-                roi=refiner.roi,
-            )
-    else:
-        poses_dev = jax.device_put(jnp.asarray(poses))
-
-        def run():
-            return refiner.refine(poses_dev)
+    def run():
+        return refiner.refine(poses_dev)
 
     # compile + warm
     t0 = time.perf_counter()
@@ -197,7 +181,7 @@ def main():
     # scripts/fullres_lift_study.py: 521 -> 580 poses/s. ----
     refiner_fr = prt.PoseRefiner(
         model, K=K, width=WIDTH, height=HEIGHT, use_pallas=use_pallas,
-        max_points=4096, window=256, stride=3, chunk_iters=64,
+        max_points=4096, window=256, stride=3,
     )
     refiner_fr.set_scene_depth(scene_depth)
     poses_dev2 = jax.device_put(jnp.asarray(poses))
@@ -219,14 +203,15 @@ def main():
     except Exception as e:
         _emit({"metric": "poses_per_sec_batch512", "error": str(e)[:200]})
 
-    # ---- secondary metric: streaming throughput (serving mode) - enqueue
-    # K batches back-to-back and fence ONCE; the runtime pipelines the
-    # dispatches, amortizing the ~28 ms tunnel round trip per batch ----
+    # ---- secondary metric: streaming throughput (serving mode) via the
+    # public API - refine_async enqueues K batches back-to-back, fence()
+    # synchronizes once; the runtime pipelines the dispatches, amortizing
+    # the ~28 ms tunnel round trip per batch ----
     try:
         K_STREAM = 4
         t0 = time.perf_counter()
-        outs = [run() for _ in range(K_STREAM)]
-        sync([(o[0], o[1].fitness) for o in outs])
+        pending = [refiner.refine_async(poses_dev) for _ in range(K_STREAM)]
+        prt.fence(*pending)
         t_stream = (time.perf_counter() - t0) / K_STREAM
         _emit({"metric": "poses_per_sec_batch256_streaming", "value": round(N_POSES / t_stream, 1),
                "unit": "poses/sec", "wall_ms_per_batch": round(t_stream * 1000, 1),

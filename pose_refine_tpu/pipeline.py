@@ -135,6 +135,39 @@ def refine_poses_jit(
     return refined, results
 
 
+class PendingResult:
+    """An in-flight refinement: the arrays are device futures (XLA dispatch
+    is asynchronous), so several batches can be enqueued back-to-back and
+    the runtime pipelines their execution - the streaming serving pattern
+    that amortizes the fixed per-dispatch cost (~28-30 ms on tunneled
+    runtimes; measured 1684 -> 1922 poses/s at 4 batches in flight).
+
+    Call :meth:`wait` (or :func:`fence` over many) to synchronize."""
+
+    __slots__ = ("refined", "results")
+
+    def __init__(self, refined, results):
+        self.refined = refined
+        self.results = results
+
+    def wait(self):
+        """Fence this batch; returns (refined_poses, results)."""
+        from pose_refine_tpu.utils.sync import sync
+
+        sync((self.refined, self.results))
+        return self.refined, self.results
+
+
+def fence(*pending: "PendingResult"):
+    """Fence any number of in-flight batches with ONE probe (a per-batch
+    wait would pay one device round-trip each). Returns a list of
+    (refined, results) in argument order."""
+    from pose_refine_tpu.utils.sync import sync
+
+    sync([(p.refined, p.results) for p in pending])
+    return [(p.refined, p.results) for p in pending]
+
+
 class PoseRefiner:
     """Refine batches of pose hypotheses of one model against a scene depth.
 
@@ -143,6 +176,10 @@ class PoseRefiner:
         refiner.set_scene_depth(observed_depth_mm)     # builds the scene once
         poses, results = refiner.refine(init_poses)    # (N,4,4) -> (N,4,4)
         best = poses[results.fitness.argmax()]
+
+    Streaming (serving) mode - keep several batches in flight:
+        pending = [refiner.refine_async(b) for b in batches]
+        for refined, results in fence(*pending): ...
     """
 
     def __init__(
@@ -160,11 +197,12 @@ class PoseRefiner:
         stride: int = 2,
         auto_roi: bool = True,
         roi_margin: float = 0.35,
-        chunk_iters: int = 8,
+        chunk_iters="auto",
         render_scale: int = 1,
         decimate_mm: float = 0.0,
         scene_voxel_mm: float = 0.0,
         robust_delta: float = 0.0,
+        devices=None,
     ):
         self.model = Model.load(model) if isinstance(model, str) else model
         # decimate_mm: vertex-cluster the HYPOTHESIS render mesh to this cell
@@ -244,10 +282,101 @@ class PoseRefiner:
         # equations; 0 = the reference's plain least squares within the gate.
         # Useful against sensor outliers - see scripts/noise_robustness.py.
         self.robust_delta = float(robust_delta)
-        # ICP early-exit granularity; set >= max_iteration+1 for one fused
-        # program (best for straggler-bound batches), small for quick
-        # convergence workloads (see icp.icp_point_to_plane docs)
-        self.chunk_iters = int(chunk_iters)
+        # devices: multi-chip scaling of the pose batch (pure DP over ICI -
+        # the only parallel axis this workload has, SURVEY.md section 2).
+        #   None  - auto: shard over all attached chips when the backend is a
+        #           real device platform with >1 device; CPU hosts (incl. the
+        #           8-virtual-device test mesh) stay single-device unless
+        #           devices= is explicit.
+        #   1 / False - force single-device.
+        #   int n / list of jax devices / jax.sharding.Mesh - explicit mesh.
+        # Non-divisible batches are padded (first pose replicated) and the
+        # padding is dropped from the results - any batch size works.
+        self._devices = devices
+        self._mesh_cache = None  # resolved lazily; False = resolved to None
+        # one deferred saturation check per frame (see _warn_if_saturated)
+        self._check_saturation = False
+        # ICP early-exit granularity; >= max_iteration+1 means one fused
+        # program (best for straggler-bound batches), small chunks re-check
+        # convergence on the host between dispatches. "auto" picks per
+        # runtime like use_pallas/_nn_backend: on TPU (and any tunneled
+        # backend, where each while-chunk costs a ~28-30 ms dispatch -
+        # PERF_NOTES) fuse the whole loop; on CPU small chunks let quick
+        # batches exit early. Explicit ints are honored unchanged.
+        self.chunk_iters = chunk_iters if chunk_iters == "auto" else int(chunk_iters)
+
+    def _device_mesh(self):
+        """Resolve devices= (see __init__) to a Mesh, cached. None = run
+        single-device."""
+        if self._mesh_cache is not None:
+            return self._mesh_cache or None
+        d = self._devices
+        mesh = None
+        if d is None:
+            if jax.default_backend() != "cpu" and len(jax.devices()) > 1:
+                from pose_refine_tpu.parallel import make_mesh
+
+                mesh = make_mesh()
+        elif d is False or (isinstance(d, int) and d <= 1):
+            mesh = None
+        elif isinstance(d, jax.sharding.Mesh):
+            mesh = d
+        elif isinstance(d, int):
+            from pose_refine_tpu.parallel import make_mesh
+
+            mesh = make_mesh(d)
+        else:  # sequence of jax devices
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.array(d), ("dp",))
+        if mesh is not None and mesh.size <= 1:
+            mesh = None
+        self._mesh_cache = mesh if mesh is not None else False
+        return mesh
+
+    def _pipeline_items(self, criteria):
+        """Static pipeline config as the sorted item tuple _sharded_fn
+        caches on (matches refine_poses_sharded's key construction)."""
+        return (
+            ("chunk_iters", self._resolve_chunk_iters(criteria)),
+            ("lift", self.lift),
+            ("robust_delta", self.robust_delta),
+            ("roi", self.roi),
+            ("stride", self.stride),
+            ("window", self.window),
+        )
+
+    def _warn_if_saturated(self, results):
+        """No-silent-caps guard on the HYPOTHESIS side: clouds are lifted
+        from hypothesis renders, so an initial pose rendering much larger
+        than the observed object (e.g. z well under truth) can exceed the
+        max_points budget even when the auto sizing fit the scene - the
+        compaction then drops boundary points silently. Checked once per
+        frame (first refine after _prepare_frame): the readback of the
+        per-pose valid counts costs one tunnel round-trip, too dear to pay
+        per call in a streaming loop."""
+        if not self._check_saturation or results.n_points is None:
+            return
+        self._check_saturation = False
+        peak = int(np.max(np.asarray(results.n_points)))
+        if self.max_points and peak >= self.max_points:
+            logger.warning(
+                "lift budget saturated: a hypothesis filled all %d cloud "
+                "points - boundary points were likely dropped. Enlarge "
+                "max_points (or use max_points='auto' with a margin).",
+                self.max_points,
+            )
+
+    def _resolve_chunk_iters(self, criteria: icp.ICPConvergenceCriteria) -> int:
+        """chunk_iters="auto": fused loop (max_iteration+1 covers the
+        reference's extra fitness-only iteration, icp.cpp:137) on
+        device backends, chunks of 8 on CPU where dispatch is free and
+        early exit pays."""
+        if self.chunk_iters != "auto":
+            return self.chunk_iters
+        if jax.default_backend() == "cpu":
+            return 8
+        return int(criteria.max_iteration) + 1
 
     def _object_stats(self, scene_depth):
         """ONE host scan of the depth image: (ys, xs, n_valid) of the
@@ -279,33 +408,54 @@ class PoseRefiner:
         y0 = min(y0, rh - h)
         return (x0, y0, w, h)
 
-    def _tune_lift(self, stats):
-        """window='auto' / max_points='auto' resolution (see __init__)."""
+    def _lift_targets(self, stats):
+        """(window, max_points) the auto formulas pick for this frame (see
+        __init__); non-auto knobs keep their configured values."""
         ys, xs = stats
         s = self.render_scale
         if len(xs) == 0:
-            self.window = self.window or min(256, self.render_w, self.render_h)
-            self.max_points = self.max_points or 4096
-            return
+            return (
+                self.window or min(256, self.render_w, self.render_h),
+                self.max_points or 4096,
+            )
         extent = int(max(xs.max() - xs.min(), ys.max() - ys.min())) // s
+        window = self.window
         if self._auto_window:
             w = -(-int(extent * 1.15) // 32) * 32
-            self.window = int(np.clip(w, 32, min(self.render_w, self.render_h)))
+            window = int(np.clip(w, 32, min(self.render_w, self.render_h)))
+        max_points = self.max_points
         if self._auto_points:
             if self.lift == "window":
                 # the window lift strides; budget = strided object pixels
                 n_obj = len(xs) // (s * s * self.stride * self.stride)
-                cand = (-(-self.window // self.stride)) ** 2
+                cand = (-(-window // self.stride)) ** 2
                 mp = min(-(-int(n_obj * 1.3) // 256) * 256, cand)
             else:
                 # the compact lift keeps EVERY valid pixel (no window, no
                 # stride) - budget must cover the full object
                 n_obj = len(xs) // (s * s)
                 mp = -(-int(n_obj * 1.3) // 256) * 256
-            self.max_points = int(max(mp, 256))
+            max_points = int(max(mp, 256))
+        return window, max_points
+
+    def _tune_lift(self, stats):
+        """Apply the auto lift sizes WITH hysteresis: window/max_points are
+        static jit arguments, so changing them recompiles the fused program -
+        an object extent oscillating across a 32-px (or 256-point)
+        quantization boundary must not recompile alternating tracking frames
+        (same rationale as _roi_still_fits). Growing is applied immediately
+        (an undersized window/budget drops boundary points); shrinking waits
+        until the target is more than one quantum below the current size."""
+        window, max_points = self._lift_targets(stats)
+        grow = window > self.window or max_points > self.max_points
+        shrink_past_quantum = (
+            window < self.window - 32 or max_points < self.max_points - 256
+        )
+        if self.window and self.max_points and not (grow or shrink_past_quantum):
+            return
+        self.window, self.max_points = window, max_points
         logger.info(
-            "auto lift: window=%d, max_points=%d (object extent %d render px)",
-            self.window, self.max_points, extent,
+            "auto lift: window=%d, max_points=%d", self.window, self.max_points
         )
 
     def _roi_still_fits(self, stats) -> bool:
@@ -362,6 +512,7 @@ class PoseRefiner:
                 "scene depth max is %.2f - values look like meters; this "
                 "pipeline expects millimeters (uint16/int32 mm)", d_max,
             )
+        self._check_saturation = True
         stats = self._object_stats(scene_depth)
         ys, xs = stats
         if len(xs):  # extent drives the crop warning, with or without auto_roi
@@ -425,6 +576,7 @@ class PoseRefiner:
         self.scene = SceneNN.from_cloud(
             points, normals, self.max_dist_diff, backend=self._nn_backend()
         )
+        self._check_saturation = True
         return self
 
     def refine(
@@ -474,28 +626,70 @@ class PoseRefiner:
         squeeze = init_poses.ndim == 2
         if squeeze:
             init_poses = init_poses[None]
-        refined, results = refine_poses_jit(
-            self.tris if _tris is None else _tris,
-            init_poses,
-            scene,
-            self.proj,
-            jnp.asarray(self.K_render),
-            self.render_w,
-            self.render_h,
-            self.max_points,
-            criteria,
-            self.use_pallas,
-            lift=self.lift,
-            window=self.window,
-            stride=self.stride,
-            roi=self.roi,
-            chunk_iters=self.chunk_iters,
-            robust_delta=self.robust_delta,
-        )
+        tris = jnp.asarray(self.tris if _tris is None else _tris)
+        mesh = self._device_mesh()
+        if mesh is not None:
+            # multi-chip: the identical fused program with the pose batch
+            # (and any per-pose triangle table) sharded over the mesh;
+            # non-divisible batches are padded then sliced back
+            from pose_refine_tpu.parallel import sharding as _sh
+
+            fn = _sh._sharded_fn(
+                "refine", mesh, "dp", self.render_w, self.render_h,
+                self.max_points, criteria, self.use_pallas,
+                jax.tree.structure(scene), self._pipeline_items(criteria),
+                tris_per_pose=tris.ndim == 4,
+            )
+            poses_p, tris_p, n = _sh.pad_to_devices(mesh.size, init_poses, tris)
+            refined, results = fn(
+                tris_p, _sh.shard_pose_batch(mesh, poses_p), scene,
+                jnp.asarray(self.proj), jnp.asarray(self.K_render),
+            )
+            refined, results = _sh.unpad_results(n, refined, results)
+        else:
+            refined, results = refine_poses_jit(
+                tris,
+                init_poses,
+                scene,
+                self.proj,
+                jnp.asarray(self.K_render),
+                self.render_w,
+                self.render_h,
+                self.max_points,
+                criteria,
+                self.use_pallas,
+                lift=self.lift,
+                window=self.window,
+                stride=self.stride,
+                roi=self.roi,
+                chunk_iters=self._resolve_chunk_iters(criteria),
+                robust_delta=self.robust_delta,
+            )
+        self._warn_if_saturated(results)
         if squeeze:
             refined = refined[0]
             results = jax.tree.map(lambda x: x[0], results)
         return refined, results
+
+    def refine_async(
+        self,
+        init_poses,
+        criteria: icp.ICPConvergenceCriteria = icp.ICPConvergenceCriteria(),
+        **kwargs,
+    ) -> PendingResult:
+        """refine() without any host synchronization: returns a
+        :class:`PendingResult` immediately so the caller can enqueue more
+        batches while this one executes (the reference's multi-stream
+        serving intent, README.md:15, expressed as XLA async dispatch).
+        The once-per-frame lift-saturation readback is deferred to the next
+        synchronous refine() - nothing on this path blocks."""
+        check = self._check_saturation
+        self._check_saturation = False
+        try:
+            refined, results = self.refine(init_poses, criteria, **kwargs)
+        finally:
+            self._check_saturation = check
+        return PendingResult(refined, results)
 
     def track(
         self,
@@ -525,26 +719,48 @@ class PoseRefiner:
         squeeze = init_poses.ndim == 2
         if squeeze:
             init_poses = init_poses[None]
-        refined, results = track_poses_jit(
-            self.tris if _tris is None else _tris,
-            init_poses,
-            jnp.asarray(frame_depth),
-            self.proj,
-            jnp.asarray(self.K_render),
-            jnp.asarray(self.K),
-            jnp.float32(self.max_dist_diff),
-            self.render_w,
-            self.render_h,
-            self.max_points,
-            criteria,
-            self.use_pallas,
-            lift=self.lift,
-            window=self.window,
-            stride=self.stride,
-            roi=self.roi,
-            chunk_iters=self.chunk_iters,
-            robust_delta=self.robust_delta,
-        )
+        tris = jnp.asarray(self.tris if _tris is None else _tris)
+        mesh = self._device_mesh()
+        if mesh is not None:
+            # multi-chip tracking: frame depth replicates (the in-program
+            # scene build is per-chip redundant but tiny), poses shard
+            from pose_refine_tpu.parallel import sharding as _sh
+
+            fn = _sh._sharded_fn(
+                "track", mesh, "dp", self.render_w, self.render_h,
+                self.max_points, criteria, self.use_pallas, None,
+                self._pipeline_items(criteria), tris_per_pose=tris.ndim == 4,
+            )
+            poses_p, tris_p, n = _sh.pad_to_devices(mesh.size, init_poses, tris)
+            refined, results = fn(
+                tris_p, _sh.shard_pose_batch(mesh, poses_p),
+                jnp.asarray(frame_depth), jnp.asarray(self.proj),
+                jnp.asarray(self.K_render), jnp.asarray(self.K),
+                jnp.float32(self.max_dist_diff),
+            )
+            refined, results = _sh.unpad_results(n, refined, results)
+        else:
+            refined, results = track_poses_jit(
+                tris,
+                init_poses,
+                jnp.asarray(frame_depth),
+                self.proj,
+                jnp.asarray(self.K_render),
+                jnp.asarray(self.K),
+                jnp.float32(self.max_dist_diff),
+                self.render_w,
+                self.render_h,
+                self.max_points,
+                criteria,
+                self.use_pallas,
+                lift=self.lift,
+                window=self.window,
+                stride=self.stride,
+                roi=self.roi,
+                chunk_iters=self._resolve_chunk_iters(criteria),
+                robust_delta=self.robust_delta,
+            )
+        self._warn_if_saturated(results)
         if squeeze:
             refined = refined[0]
             results = jax.tree.map(lambda x: x[0], results)

@@ -517,3 +517,122 @@ def test_multi_model_three_models_same_size(setup):
     R_err = np.asarray(refined)[0, :3, :3] @ pose2[:3, :3].T
     ang = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
     assert ang < 4.0
+
+
+def test_chunk_iters_auto_selection(setup, monkeypatch):
+    """chunk_iters='auto' fuses the whole ICP loop on device backends (each
+    while-chunk costs a ~28-30 ms dispatch on tunneled runtimes) and keeps
+    small chunks on CPU; explicit values pass through."""
+    import jax
+
+    from pose_refine_tpu.icp import ICPConvergenceCriteria
+
+    m, K = setup
+    crit = ICPConvergenceCriteria()
+    r = prt.PoseRefiner(m, K=K, width=W, height=H, use_pallas=False)
+    assert r.chunk_iters == "auto"
+    assert r._resolve_chunk_iters(crit) == 8  # tests run on CPU
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert r._resolve_chunk_iters(crit) == crit.max_iteration + 1  # fused
+    assert r._resolve_chunk_iters(ICPConvergenceCriteria(max_iteration=10)) == 11
+
+    explicit = prt.PoseRefiner(m, K=K, width=W, height=H, use_pallas=False,
+                               chunk_iters=16)
+    assert explicit._resolve_chunk_iters(crit) == 16
+
+
+def test_auto_lift_hysteresis(setup):
+    """Auto lift sizes are static jit args: an object extent oscillating
+    across a quantization boundary must NOT retune (= recompile) every
+    frame; growth applies immediately, shrink waits for >1 quantum."""
+    m, K = setup
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    scene_depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+
+    refiner = prt.PoseRefiner(m, K=K, width=W, height=H, window="auto",
+                              max_points="auto", use_pallas=False, stride=1)
+    refiner.set_scene_depth(scene_depth)
+    w0, mp0 = refiner.window, refiner.max_points
+
+    ys, xs = np.nonzero(scene_depth > 0)
+
+    # a slightly smaller object (shrunk extent by a few px): keep sizes
+    keep = (ys[: int(0.97 * len(ys))], xs[: int(0.97 * len(xs))])
+    refiner._tune_lift(keep)
+    assert (refiner.window, refiner.max_points) == (w0, mp0)
+
+    # a much smaller object: sizes shrink
+    small = (ys[: len(ys) // 6], xs[: len(xs) // 6])
+    refiner._tune_lift(small)
+    assert refiner.max_points < mp0
+
+    # growth is immediate (undersized budgets drop boundary points)
+    refiner._tune_lift((ys, xs))
+    assert refiner.window >= w0 and refiner.max_points >= mp0
+
+
+def test_lift_saturation_warning(setup, caplog):
+    """A budget the hypothesis clouds fill to the brim warns once per frame
+    (no-silent-caps: compaction drops boundary points when saturated)."""
+    import logging
+
+    m, K = setup
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    scene_depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+
+    refiner = prt.PoseRefiner(m, K=K, width=W, height=H, max_points=256,
+                              window=64, stride=1, use_pallas=False)
+    refiner.set_scene_depth(scene_depth)
+    with caplog.at_level(logging.WARNING, logger="pose_refine_tpu"):
+        refiner.refine(pose1)
+    assert any("saturated" in rec.message for rec in caplog.records)
+
+    # checked once per frame, not per call
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="pose_refine_tpu"):
+        refiner.refine(pose1)
+    assert not any("saturated" in rec.message for rec in caplog.records)
+
+
+def test_results_report_n_points(setup):
+    """RegistrationResult.n_points = valid cloud points per pose (the
+    fitness divisor, icp.cpp:158) - the saturation diagnostic."""
+    m, K = setup
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    scene_depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+    refiner = prt.PoseRefiner(m, K=K, width=W, height=H, max_points=4096,
+                              window=64, stride=1, use_pallas=False)
+    refiner.set_scene_depth(scene_depth)
+    _, res = refiner.refine(np.stack([pose1, pose2]))
+    n = np.asarray(res.n_points)
+    assert n.shape == (2,) and (n > 100).all() and (n < 4096).all()
+
+
+def test_refine_async_fence(setup):
+    """The streaming serving primitive: refine_async results, fenced in one
+    probe, equal synchronous refine results; nothing on the async path
+    blocks on the host (the saturation readback is deferred)."""
+    m, K = setup
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    refiner = prt.PoseRefiner(m, K=K, width=W, height=H, max_points=4096,
+                              use_pallas=False, window=64, stride=1)
+    refiner.set_scene_depth(np.asarray(r.render_depth(pose2))[0].astype(np.int32))
+
+    fenced, fres = refiner.refine(pose1)
+    pending = [refiner.refine_async(pose1) for _ in range(3)]
+    assert all(isinstance(p, prt.PendingResult) for p in pending)
+    # async path must not consume the once-per-frame saturation check
+    assert refiner._check_saturation in (True, False)
+    outs = prt.fence(*pending)
+    assert len(outs) == 3
+    for refined, res in outs:
+        np.testing.assert_array_equal(np.asarray(refined), np.asarray(fenced))
+        np.testing.assert_array_equal(np.asarray(res.fitness), np.asarray(fres.fitness))
+    # wait() on an already-fenced result is a cheap no-op returning the pair
+    rf, rr = pending[0].wait()
+    np.testing.assert_array_equal(np.asarray(rf), np.asarray(fenced))
