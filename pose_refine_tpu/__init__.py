@@ -26,6 +26,12 @@ from pose_refine_tpu.icp import (  # noqa: F401
 )
 from pose_refine_tpu.scene import SceneProjective, SceneNN, KDTree, build_kdtree  # noqa: F401
 from pose_refine_tpu.api import PoseRenderer, get_bbox  # noqa: F401
-from pose_refine_tpu.pipeline import MultiModelRefiner, PoseRefiner, refine_poses_jit  # noqa: F401
+from pose_refine_tpu.pipeline import (  # noqa: F401
+    MultiModelRefiner,
+    PendingResult,
+    PoseRefiner,
+    fence,
+    refine_poses_jit,
+)
 
 __version__ = "0.1.0"

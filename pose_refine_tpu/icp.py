@@ -53,6 +53,11 @@ class RegistrationResult(NamedTuple):
     transformation: jnp.ndarray  # (..., 4, 4)
     fitness: jnp.ndarray         # (...,) inlier fraction
     inlier_rmse: jnp.ndarray     # (...,)
+    # valid source-cloud points fed to ICP (the fitness divisor,
+    # icp.cpp:158). Lets callers detect a saturated lift budget: n_points
+    # == max_points means the compaction ran out of room and silently
+    # dropped boundary points. None when the producer predates the field.
+    n_points: jnp.ndarray = None
 
 
 class _State(NamedTuple):
@@ -248,7 +253,7 @@ def icp_point_to_plane(
             lambda s: (s.it < total) & ~s.done, chunk_body, init
         )
     return (
-        RegistrationResult(final.T, final.fitness, final.rmse),
+        RegistrationResult(final.T, final.fitness, final.rmse, n_total),
         final.cloud,
     )
 

@@ -33,9 +33,40 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def pad_to_devices(n_devices: int, init_poses, tris=None):
+    """Pad an (N, 4, 4) pose batch (and an optional per-pose (N, T, 3, 3)
+    triangle table) to a multiple of n_devices so the batch shards evenly.
+
+    Padding replicates the FIRST row: a guaranteed-renderable pose (identity
+    padding would put the mesh at the camera origin), whose results are
+    simply dropped by the caller (slice back to N). Returns
+    (poses_padded, tris_padded_or_None, n_orig)."""
+    poses = jnp.asarray(init_poses, jnp.float32)
+    n = poses.shape[0]
+    pad = (-n) % n_devices
+    if pad:
+        poses = jnp.concatenate(
+            [poses, jnp.broadcast_to(poses[:1], (pad, 4, 4))], axis=0
+        )
+        if tris is not None and tris.ndim == 4:
+            tris = jnp.concatenate(
+                [tris, jnp.broadcast_to(tris[:1], (pad,) + tris.shape[1:])],
+                axis=0,
+            )
+    return poses, tris, n
+
+
+def unpad_results(n: int, refined, results):
+    """Drop padded rows appended by pad_to_devices (no-op when unpadded)."""
+    if refined.shape[0] == n:
+        return refined, results
+    return refined[:n], jax.tree.map(lambda x: x[:n], results)
+
+
 def shard_pose_batch(mesh: Mesh, init_poses, axis: str = "dp"):
-    """Place (N, 4, 4) poses sharded over the mesh; N must divide evenly
-    (pad with identity poses if needed)."""
+    """Place (N, 4, 4) poses sharded over the mesh. N must be a multiple of
+    the mesh size - use pad_to_devices first for arbitrary batch sizes (the
+    production PoseRefiner path does this automatically)."""
     sharding = NamedSharding(mesh, P(axis, None, None))
     return jax.device_put(jnp.asarray(init_poses, jnp.float32), sharding)
 
@@ -68,7 +99,8 @@ def refine_poses_sharded(
         use_pallas = jax.default_backend() != "cpu"
 
     tris = jnp.asarray(tris, jnp.float32)
-    fn = _sharded_refine_fn(
+    fn = _sharded_fn(
+        "refine",
         mesh,
         axis,
         width,
@@ -80,31 +112,60 @@ def refine_poses_sharded(
         tuple(sorted(pipeline_kwargs.items())),
         tris_per_pose=tris.ndim == 4,
     )
-    poses_sharded = shard_pose_batch(mesh, init_poses, axis)
-    return fn(tris, poses_sharded, scene, jnp.asarray(proj), jnp.asarray(K, jnp.float32))
+    poses_p, tris_p, n = pad_to_devices(mesh.size, init_poses, tris)
+    poses_sharded = shard_pose_batch(mesh, poses_p, axis)
+    refined, results = fn(
+        tris_p, poses_sharded, scene, jnp.asarray(proj), jnp.asarray(K, jnp.float32)
+    )
+    return unpad_results(n, refined, results)
 
 
 @functools.lru_cache(maxsize=32)
-def _sharded_refine_fn(
-    mesh, axis, width, height, max_points, criteria, use_pallas, scene_treedef,
-    pipeline_items=(), tris_per_pose=False,
+def _sharded_fn(
+    kind, mesh, axis, width, height, max_points, criteria, use_pallas,
+    scene_treedef=None, pipeline_items=(), tris_per_pose=False,
 ):
-    """Build (and cache) the jitted sharded program. Cached on the static
-    configuration so repeated refine_poses_sharded calls reuse one jit
-    wrapper - a fresh jax.jit object per call would re-trace every time."""
-    from pose_refine_tpu.pipeline import refine_poses_jit
+    """Build (and cache) the jitted sharded program for the fused refine
+    (kind='refine') or the fused per-frame scene-build+refine
+    (kind='track'). Cached on the static configuration so repeated calls
+    reuse one jit wrapper - a fresh jax.jit object per call would re-trace
+    every time."""
+    from pose_refine_tpu.pipeline import refine_poses_jit, track_poses_jit
 
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(axis))
+    pose_sh = NamedSharding(mesh, P(axis, None, None))
     # shared (T, 3, 3) triangles replicate; per-pose (N, T, 3, 3) tables
     # (multi-model batches) shard with their poses
     tris_sharding = (
         NamedSharding(mesh, P(axis, None, None, None)) if tris_per_pose else repl
     )
+    if kind == "refine":
+        fn = refine_poses_jit
+        in_shardings = (
+            tris_sharding,                               # tris
+            pose_sh,                                     # poses
+            jax.tree.unflatten(
+                scene_treedef, [repl] * scene_treedef.num_leaves
+            ),                                           # scene pytree
+            repl,                                        # proj
+            repl,                                        # K
+        )
+    else:  # track: scene built in-program from the replicated frame depth
+        fn = track_poses_jit
+        in_shardings = (
+            tris_sharding,                               # tris
+            pose_sh,                                     # poses
+            repl,                                        # frame_depth
+            repl,                                        # proj
+            repl,                                        # K_render
+            repl,                                        # K_full
+            repl,                                        # max_dist
+        )
 
     return jax.jit(
         functools.partial(
-            refine_poses_jit,
+            fn,
             width=width,
             height=height,
             max_points=max_points,
@@ -112,21 +173,14 @@ def _sharded_refine_fn(
             use_pallas=use_pallas,
             **dict(pipeline_items),
         ),
-        in_shardings=(
-            tris_sharding,                               # tris
-            NamedSharding(mesh, P(axis, None, None)),    # poses
-            jax.tree.unflatten(
-                scene_treedef, [repl] * scene_treedef.num_leaves
-            ),                                           # scene pytree
-            repl,                                        # proj
-            repl,                                        # K
-        ),
+        in_shardings=in_shardings,
         out_shardings=(
-            NamedSharding(mesh, P(axis, None, None)),
+            pose_sh,
             icp.RegistrationResult(
-                transformation=NamedSharding(mesh, P(axis, None, None)),
+                transformation=pose_sh,
                 fitness=shard,
                 inlier_rmse=shard,
+                n_points=shard,
             ),
         ),
     )

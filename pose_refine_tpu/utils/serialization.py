@@ -43,7 +43,8 @@ def save(path: str, obj) -> None:
                 arrays[f.name] = np.asarray(v)
     else:  # NamedTuple (RegistrationResult)
         for name, v in obj._asdict().items():
-            arrays[name] = np.asarray(v)
+            if v is not None:  # optional fields (e.g. n_points) may be unset
+                arrays[name] = np.asarray(v)
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
 
 
