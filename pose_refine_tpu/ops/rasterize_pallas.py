@@ -16,10 +16,22 @@ screen bbox intersects it. Culling is hierarchical and fully on-device:
 Triangles are expected in a spatially coherent order (mesh.morton_order) so
 index-contiguous blocks have tight screen bboxes.
 
-Layout: framebuffer tiles are (8, 128) f32 vregs; inside the kernel triangles
-live on LANES and pixels on SUBLANES, so per-triangle coefficients broadcast
-with no transposes; the (128, 8) pixel accumulator is transposed once per
-tile on write-out.
+ONE kernel body serves every subtile geometry (the reference likewise needs
+exactly one kernel, renderer.cu:152-187): _make_kernel(sub_w, sub_h)
+instantiates it for the measured variants
+
+  stripe8 - (128 x 8) row stripes: pixels-on-sublanes x triangles-on-lanes
+            with no relayout; best when block bboxes are wide.
+  tile32  - (32 x 32) square subtiles: a 128-lane vector packs 4 image rows
+            (s -> y = 4p + s//32, x = s%32); square subtiles match the
+            ~35 px Morton block bboxes (1.55x fewer (block, tile) pairs on
+            the benchmark workload).
+  tile16  - (16 x 16): tighter fit for dense meshes at down-sampled
+            renders, 4x more subtile-scan overhead.
+
+Inside every variant triangles live on LANES and pixel x on SUBLANES, so
+per-triangle coefficients broadcast with no transposes; the (128, n_pass)
+accumulator is relaid to image (sub_h, sub_w) once per subtile on write-out.
 
 Barycentrics are affine in the pixel coordinate (coefficients precomputed per
 pose by XLA), and the perspective depth is min-reduced as 1/denom where
@@ -41,11 +53,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pose_refine_tpu.ops import rasterize as rz
 
-TILE_H = 8
-TILE_W = 128
 BLOCK = 128        # triangles per block (lane-dim dynamic slices must be 128-aligned)
 SUPER = 8          # blocks per superblock
 BIG = 3.0e38       # "empty pixel" sentinel, above any real 1/denom
+
+# variant name -> (sub_w, sub_h) subtile geometry
+VARIANTS = {"stripe8": (128, 8), "tile32": (32, 32), "tile16": (16, 16)}
 
 
 def _triangle_setup(tris, poses, proj, width: int, height: int, roi):
@@ -131,7 +144,7 @@ def _triangle_setup(tris, poses, proj, width: int, height: int, roi):
 
 
 def _tile_counts(bb, out_h: int, out_w: int, height: int, roi,
-                 tile_h: int = TILE_H, tile_w: int = TILE_W):
+                 tile_h: int, tile_w: int):
     """(N, TY, TX) int32: how many bbox groups intersect each tile.
 
     Called with the SUPERBLOCK bboxes: a conservative (never-miss) gate for
@@ -153,177 +166,114 @@ def _tile_counts(bb, out_h: int, out_w: int, height: int, roi,
     return hit.sum(axis=1).astype(jnp.int32), ty, tx
 
 
-def _kernel(count_ref, sb_ref, bb_ref, coef_ref, out_ref, acc_ref, *, height, roi, nsb, out_w):
-    """One grid step = one full-width row stripe (TILE_H x out_w): the x-tile
-    loop runs inside the kernel, cutting grid-step fixed costs by W/128."""
-    ty = pl.program_id(1)
-    rx, ry = roi[0], roi[1]
-    py_top = jnp.float32(height - 1 - ry) - jnp.float32(ty * TILE_H)
-    py_bot = py_top - (TILE_H - 1)
-    n_tx = -(-out_w // TILE_W)
+def _make_kernel(sub_w: int, sub_h: int):
+    """Instantiate the rasterizer kernel body for one subtile geometry.
 
-    for tx in range(n_tx):
-        x_lo = jnp.float32(tx * TILE_W + rx)
-        x_hi = x_lo + (TILE_W - 1)
-        # pixels on sublanes: px[s] = x_lo + s
-        px = x_lo + jax.lax.broadcasted_iota(jnp.int32, (TILE_W, 1), 0).astype(jnp.float32)
+    A 128-lane f32 vector covers `rows_per_vec = 128 // sub_w` image rows of
+    one subtile: sublane s holds pixel (x = s % sub_w, y-offset = s //
+    sub_w), and `n_pass = sub_h // rows_per_vec` passes step the vector down
+    the subtile. One grid step covers a full-width (sub_h, out_w) stripe -
+    the subtile x-loop runs inside the kernel, cutting grid-step fixed costs
+    by out_w / sub_w."""
+    rows_per_vec = 128 // sub_w
+    n_pass = (sub_h * sub_w) // 128
+    assert rows_per_vec * sub_w == 128 and n_pass * rows_per_vec == sub_h
+    assert n_pass <= 8  # the (128, 8) accumulator bounds the pass count
 
-        nhit = count_ref[0, ty, tx]
-        acc_ref[...] = jnp.full((TILE_W, TILE_H), BIG, jnp.float32)
+    def kernel(count_ref, sb_ref, bb_ref, coef_ref, out_ref, acc_ref,
+               *, height, roi, nsb, out_w):
+        ty = pl.program_id(1)
+        rx, ry = roi[0], roi[1]
+        py_top = jnp.float32(height - 1 - ry) - jnp.float32(ty * sub_h)
+        py_bot = py_top - (sub_h - 1)
+        n_sx = -(-out_w // sub_w)
 
-        @pl.when(nhit > 0)
-        def _process():
-            def superblock_body(s, _):
-                s_hit = (
-                    (sb_ref[0, s, 0] <= x_hi) & (sb_ref[0, s, 2] >= x_lo)
-                    & (sb_ref[0, s, 1] <= py_top) & (sb_ref[0, s, 3] >= py_bot)
-                )
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+        x_in_tile = (s_iota % sub_w).astype(jnp.float32)   # (128, 1)
+        y_sub = (s_iota // sub_w).astype(jnp.float32)      # row within a pass
 
-                @pl.when(s_hit)
-                def _():
-                    def block_body(b, _):
-                        b_hit = (
-                            (bb_ref[0, b, 0] <= x_hi) & (bb_ref[0, b, 2] >= x_lo)
-                            & (bb_ref[0, b, 1] <= py_top) & (bb_ref[0, b, 3] >= py_bot)
-                        )
+        for sx in range(n_sx):
+            x_lo = jnp.float32(sx * sub_w + rx)
+            x_hi = x_lo + (sub_w - 1)
+            px = x_lo + x_in_tile
+            py0 = py_top - y_sub  # pass p adds -(rows_per_vec * p)
 
-                        @pl.when(b_hit)
-                        def _():
-                            off = pl.multiple_of(b * BLOCK, BLOCK)
-                            blk = coef_ref[0, :, pl.ds(off, BLOCK)]  # (16, BLOCK)
-                            kbx, kby, kb0 = blk[0:1], blk[1:2], blk[2:3]   # (1, 128)
-                            kgx, kgy, kg0 = blk[3:4], blk[4:5], blk[5:6]
-                            ddx, ddy, dd0 = blk[6:7], blk[7:8], blk[8:9]
-                            xs, ys_ = blk[9:10], blk[10:11]
-                            xm, ym = blk[11:12], blk[12:13]
+            nhit = count_ref[0, ty, sx]
+            acc_ref[...] = jnp.full((128, 8), BIG, jnp.float32)
 
-                            x_ok = (px >= xs) & (px <= xm)   # (128 px, 128 tri)
-                            bx_beta = kbx * px + kb0
-                            bx_gamma = kgx * px + kg0
-                            bx_denom = ddx * px + dd0
+            @pl.when(nhit > 0)
+            def _process():
+                def superblock_body(s, _):
+                    s_hit = (
+                        (sb_ref[0, s, 0] <= x_hi) & (sb_ref[0, s, 2] >= x_lo)
+                        & (sb_ref[0, s, 1] <= py_top) & (sb_ref[0, s, 3] >= py_bot)
+                    )
 
-                            # static unroll: lane-dim slices of acc must be
-                            # compile-time constants on TPU. (A per-row bbox
-                            # skip via pl.when was measured SLOWER -
-                            # predication overhead exceeds the saved compute.)
-                            for r in range(TILE_H):
-                                py = py_top - r
-                                beta = bx_beta + kby * py
-                                gamma = bx_gamma + kgy * py
-                                alpha = 1.0 - beta - gamma
-                                denom = bx_denom + ddy * py
-                                cov = (
-                                    (beta >= 0.0) & (gamma >= 0.0) & (alpha >= 0.0)
-                                    & x_ok & (py >= ys_) & (py <= ym)
-                                )
-                                depth = jnp.where(cov, 1.0 / denom, BIG)
-                                col = jnp.min(depth, axis=1, keepdims=True)  # (128, 1)
-                                acc_ref[:, r : r + 1] = jnp.minimum(
-                                    acc_ref[:, r : r + 1], col
-                                )
+                    @pl.when(s_hit)
+                    def _():
+                        def block_body(b, _):
+                            b_hit = (
+                                (bb_ref[0, b, 0] <= x_hi) & (bb_ref[0, b, 2] >= x_lo)
+                                & (bb_ref[0, b, 1] <= py_top) & (bb_ref[0, b, 3] >= py_bot)
+                            )
 
-                        return 0
+                            @pl.when(b_hit)
+                            def _():
+                                off = pl.multiple_of(b * BLOCK, BLOCK)
+                                blk = coef_ref[0, :, pl.ds(off, BLOCK)]  # (16, BLOCK)
+                                kbx, kby, kb0 = blk[0:1], blk[1:2], blk[2:3]   # (1, 128)
+                                kgx, kgy, kg0 = blk[3:4], blk[4:5], blk[5:6]
+                                ddx, ddy, dd0 = blk[6:7], blk[7:8], blk[8:9]
+                                xs, ys_ = blk[9:10], blk[10:11]
+                                xm, ym = blk[11:12], blk[12:13]
 
-                    jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER, block_body, 0)
+                                x_ok = (px >= xs) & (px <= xm)  # (128 px, 128 tri)
+                                b_beta = kbx * px + (kby * py0 + kb0)
+                                b_gamma = kgx * px + (kgy * py0 + kg0)
+                                b_denom = ddx * px + (ddy * py0 + dd0)
 
-                return 0
+                                # static unroll: lane-dim slices of acc must
+                                # be compile-time constants on TPU. (A
+                                # per-pass bbox skip via pl.when was measured
+                                # SLOWER - predication overhead exceeds the
+                                # saved compute.)
+                                for p in range(n_pass):
+                                    dy = jnp.float32(rows_per_vec * p)
+                                    py = py0 - dy
+                                    beta = b_beta - kby * dy
+                                    gamma = b_gamma - kgy * dy
+                                    alpha = 1.0 - beta - gamma
+                                    denom = b_denom - ddy * dy
+                                    cov = (
+                                        (beta >= 0.0) & (gamma >= 0.0) & (alpha >= 0.0)
+                                        & x_ok & (py >= ys_) & (py <= ym)
+                                    )
+                                    depth = jnp.where(cov, 1.0 / denom, BIG)
+                                    col = jnp.min(depth, axis=1, keepdims=True)  # (128, 1)
+                                    acc_ref[:, p : p + 1] = jnp.minimum(
+                                        acc_ref[:, p : p + 1], col
+                                    )
 
-            jax.lax.fori_loop(0, nsb, superblock_body, 0)
+                            return 0
 
-        acc = acc_ref[...]
-        fb = jnp.where(acc >= BIG, 0, jnp.trunc(acc + 0.5).astype(jnp.int32))
-        w = min(TILE_W, out_w - tx * TILE_W)
-        out_ref[0, :, tx * TILE_W : tx * TILE_W + w] = fb[:w].T
+                        jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER, block_body, 0)
 
+                    return 0
 
-def _kernel32(count_ref, sb_ref, bb_ref, coef_ref, out_ref, acc_ref, *, height, roi, nsb, out_w):
-    """32x32-pixel subtile variant: square subtiles match the ~35px Morton
-    block bboxes much better than 8x128 stripes (1.55x fewer (block, tile)
-    pairs on the benchmark workload). One grid step covers a (32, out_w)
-    stripe; pixels are lane-packed as (s, p) -> (y = 4p + s//32, x = s%32)
-    so all compute keeps the proven pixels-on-sublanes x triangles-on-lanes
-    orientation, with one relayout per subtile on write-out."""
-    ty = pl.program_id(1)
-    rx, ry = roi[0], roi[1]
-    py_top = jnp.float32(height - 1 - ry) - jnp.float32(ty * 32)
-    py_bot = py_top - 31.0
-    n_sx = -(-out_w // 32)
+                jax.lax.fori_loop(0, nsb, superblock_body, 0)
 
-    s_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
-    x_in_tile = (s_iota % 32).astype(jnp.float32)        # (128, 1)
-    y_sub = (s_iota // 32).astype(jnp.float32)           # (128, 1): row within pass
+            acc = acc_ref[:, 0:n_pass]
+            fb = jnp.where(acc >= BIG, 0, jnp.trunc(acc + 0.5).astype(jnp.int32))
+            # (s = y_off*sub_w + x, p) -> image (y = rows_per_vec*p + y_off, x)
+            img = (
+                fb.reshape(rows_per_vec, sub_w, n_pass)
+                .transpose(2, 0, 1)
+                .reshape(sub_h, sub_w)
+            )
+            w = min(sub_w, out_w - sx * sub_w)
+            out_ref[0, :, sx * sub_w : sx * sub_w + w] = img[:, :w]
 
-    for sx in range(n_sx):
-        x_lo = jnp.float32(sx * 32 + rx)
-        x_hi = x_lo + 31.0
-        px = x_lo + x_in_tile
-        py0 = py_top - y_sub  # pass p adds -4p
-
-        nhit = count_ref[0, ty, sx]
-        acc_ref[...] = jnp.full((128, 8), BIG, jnp.float32)
-
-        @pl.when(nhit > 0)
-        def _process():
-            def superblock_body(s, _):
-                s_hit = (
-                    (sb_ref[0, s, 0] <= x_hi) & (sb_ref[0, s, 2] >= x_lo)
-                    & (sb_ref[0, s, 1] <= py_top) & (sb_ref[0, s, 3] >= py_bot)
-                )
-
-                @pl.when(s_hit)
-                def _():
-                    def block_body(b, _):
-                        b_hit = (
-                            (bb_ref[0, b, 0] <= x_hi) & (bb_ref[0, b, 2] >= x_lo)
-                            & (bb_ref[0, b, 1] <= py_top) & (bb_ref[0, b, 3] >= py_bot)
-                        )
-
-                        @pl.when(b_hit)
-                        def _():
-                            off = pl.multiple_of(b * BLOCK, BLOCK)
-                            blk = coef_ref[0, :, pl.ds(off, BLOCK)]  # (16, BLOCK)
-                            kbx, kby, kb0 = blk[0:1], blk[1:2], blk[2:3]
-                            kgx, kgy, kg0 = blk[3:4], blk[4:5], blk[5:6]
-                            ddx, ddy, dd0 = blk[6:7], blk[7:8], blk[8:9]
-                            xs, ys_ = blk[9:10], blk[10:11]
-                            xm, ym = blk[11:12], blk[12:13]
-
-                            x_ok = (px >= xs) & (px <= xm)
-                            b_beta = kbx * px + (kby * py0 + kb0)
-                            b_gamma = kgx * px + (kgy * py0 + kg0)
-                            b_denom = ddx * px + (ddy * py0 + dd0)
-
-                            for p in range(8):
-                                dy = jnp.float32(4 * p)
-                                py = py0 - dy
-                                beta = b_beta - kby * dy
-                                gamma = b_gamma - kgy * dy
-                                alpha = 1.0 - beta - gamma
-                                denom = b_denom - ddy * dy
-                                cov = (
-                                    (beta >= 0.0) & (gamma >= 0.0) & (alpha >= 0.0)
-                                    & x_ok & (py >= ys_) & (py <= ym)
-                                )
-                                depth = jnp.where(cov, 1.0 / denom, BIG)
-                                col = jnp.min(depth, axis=1, keepdims=True)
-                                acc_ref[:, p : p + 1] = jnp.minimum(
-                                    acc_ref[:, p : p + 1], col
-                                )
-
-                        return 0
-
-                    jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER, block_body, 0)
-
-                return 0
-
-            jax.lax.fori_loop(0, nsb, superblock_body, 0)
-
-        acc = acc_ref[...]
-        fb = jnp.where(acc >= BIG, 0, jnp.trunc(acc + 0.5).astype(jnp.int32))
-        # (s = s_hi*32 + x, p) -> image (y = 4p + s_hi, x)
-        img = fb.reshape(4, 32, 8).transpose(2, 0, 1).reshape(32, 32)
-        w = min(32, out_w - sx * 32)
-        out_ref[0, :, sx * 32 : sx * 32 + w] = img[:, :w]
+    return kernel
 
 
 @functools.partial(
@@ -342,20 +292,24 @@ def rasterize_pallas(
     """Render N poses -> (N, out_h, out_w) int32 depth mm. TPU fast path.
 
     variant: 'tile32' (square 32x32 subtiles - default, fastest on meshes
-    with small triangles) or 'stripe8' (8x128 row-stripe tiles)."""
-    if variant == "tile32":
-        return _rasterize_pallas_tile32(tris, poses, width, height, proj, roi, interpret)
-    if variant == "tile16":
-        return _rasterize_pallas_tile16(tris, poses, width, height, proj, roi, interpret)
+    with small triangles), 'tile16' (dense meshes at down-sampled renders),
+    or 'stripe8' (8x128 row-stripe tiles)."""
+    if variant not in VARIANTS:
+        raise ValueError(f"unknown variant {variant!r}; options {sorted(VARIANTS)}")
+    sub_w, sub_h = VARIANTS[variant]
     out_w, out_h = rz.roi_shape(width, height, roi)
     poses = jnp.asarray(poses, jnp.float32)
     n = poses.shape[0]
 
     coef, bb, sb = _triangle_setup(tris, poses, proj, width, height, roi)
-    count, ty, tx = _tile_counts(sb, out_h, out_w, height, roi)
+    count, ty, tx = _tile_counts(
+        sb, out_h, out_w, height, roi, tile_h=sub_h, tile_w=sub_w
+    )
     nb, nsb = bb.shape[1], sb.shape[1]
 
-    kernel = functools.partial(_kernel, height=height, roi=roi, nsb=nsb, out_w=out_w)
+    kernel = functools.partial(
+        _make_kernel(sub_w, sub_h), height=height, roi=roi, nsb=nsb, out_w=out_w
+    )
     out = pl.pallas_call(
         kernel,
         grid=(n, ty),
@@ -368,156 +322,7 @@ def rasterize_pallas(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, TILE_H, out_w), lambda n_, y: (n_, y, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, out_h, out_w), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((TILE_W, TILE_H), jnp.float32)],
-        interpret=interpret,
-    )(count, sb, bb, coef)
-    return out
-
-
-def _kernel16(count_ref, sb_ref, bb_ref, coef_ref, out_ref, acc_ref, *, height, roi, nsb, out_w):
-    """16x16-pixel subtile variant: even tighter fit to block bboxes at the
-    cost of 4x more subtile-scan overhead. Pixel packing (s, p) ->
-    (y = 8p + s//16, x = s%16); 2 passes of 128 px per subtile."""
-    ty = pl.program_id(1)
-    rx, ry = roi[0], roi[1]
-    py_top = jnp.float32(height - 1 - ry) - jnp.float32(ty * 16)
-    py_bot = py_top - 15.0
-    n_sx = -(-out_w // 16)
-
-    s_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
-    x_in_tile = (s_iota % 16).astype(jnp.float32)
-    y_sub = (s_iota // 16).astype(jnp.float32)  # 8 rows per pass
-
-    for sx in range(n_sx):
-        x_lo = jnp.float32(sx * 16 + rx)
-        x_hi = x_lo + 15.0
-        px = x_lo + x_in_tile
-        py0 = py_top - y_sub  # pass p adds -8p
-
-        nhit = count_ref[0, ty, sx]
-        acc_ref[...] = jnp.full((128, 8), BIG, jnp.float32)
-
-        @pl.when(nhit > 0)
-        def _process():
-            def superblock_body(s, _):
-                s_hit = (
-                    (sb_ref[0, s, 0] <= x_hi) & (sb_ref[0, s, 2] >= x_lo)
-                    & (sb_ref[0, s, 1] <= py_top) & (sb_ref[0, s, 3] >= py_bot)
-                )
-
-                @pl.when(s_hit)
-                def _():
-                    def block_body(b, _):
-                        b_hit = (
-                            (bb_ref[0, b, 0] <= x_hi) & (bb_ref[0, b, 2] >= x_lo)
-                            & (bb_ref[0, b, 1] <= py_top) & (bb_ref[0, b, 3] >= py_bot)
-                        )
-
-                        @pl.when(b_hit)
-                        def _():
-                            off = pl.multiple_of(b * BLOCK, BLOCK)
-                            blk = coef_ref[0, :, pl.ds(off, BLOCK)]
-                            kbx, kby, kb0 = blk[0:1], blk[1:2], blk[2:3]
-                            kgx, kgy, kg0 = blk[3:4], blk[4:5], blk[5:6]
-                            ddx, ddy, dd0 = blk[6:7], blk[7:8], blk[8:9]
-                            xs, ys_ = blk[9:10], blk[10:11]
-                            xm, ym = blk[11:12], blk[12:13]
-
-                            x_ok = (px >= xs) & (px <= xm)
-                            b_beta = kbx * px + (kby * py0 + kb0)
-                            b_gamma = kgx * px + (kgy * py0 + kg0)
-                            b_denom = ddx * px + (ddy * py0 + dd0)
-
-                            for p in range(2):
-                                dy = jnp.float32(8 * p)
-                                py = py0 - dy
-                                beta = b_beta - kby * dy
-                                gamma = b_gamma - kgy * dy
-                                alpha = 1.0 - beta - gamma
-                                denom = b_denom - ddy * dy
-                                cov = (
-                                    (beta >= 0.0) & (gamma >= 0.0) & (alpha >= 0.0)
-                                    & x_ok & (py >= ys_) & (py <= ym)
-                                )
-                                depth = jnp.where(cov, 1.0 / denom, BIG)
-                                col = jnp.min(depth, axis=1, keepdims=True)
-                                acc_ref[:, p : p + 1] = jnp.minimum(
-                                    acc_ref[:, p : p + 1], col
-                                )
-
-                        return 0
-
-                    jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER, block_body, 0)
-
-                return 0
-
-            jax.lax.fori_loop(0, nsb, superblock_body, 0)
-
-        acc = acc_ref[:, 0:2]
-        fb = jnp.where(acc >= BIG, 0, jnp.trunc(acc + 0.5).astype(jnp.int32))
-        # (s = s_hi*16 + x, p) -> image (y = 8p + s_hi, x)
-        img = fb.reshape(8, 16, 2).transpose(2, 0, 1).reshape(16, 16)
-        w = min(16, out_w - sx * 16)
-        out_ref[0, :, sx * 16 : sx * 16 + w] = img[:, :w]
-
-
-def _rasterize_pallas_tile16(tris, poses, width, height, proj, roi, interpret):
-    out_w, out_h = rz.roi_shape(width, height, roi)
-    poses = jnp.asarray(poses, jnp.float32)
-    n = poses.shape[0]
-
-    coef, bb, sb = _triangle_setup(tris, poses, proj, width, height, roi)
-    count, ty, tx = _tile_counts(sb, out_h, out_w, height, roi, tile_h=16, tile_w=16)
-    nb, nsb = bb.shape[1], sb.shape[1]
-
-    kernel = functools.partial(_kernel16, height=height, roi=roi, nsb=nsb, out_w=out_w)
-    out = pl.pallas_call(
-        kernel,
-        grid=(n, ty),
-        in_specs=[
-            pl.BlockSpec((1, ty, tx), lambda n_, y: (n_, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nsb, 4), lambda n_, y: (n_, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nb, 4), lambda n_, y: (n_, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (1, 16, coef.shape[2]), lambda n_, y: (n_, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 16, out_w), lambda n_, y: (n_, y, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, out_h, out_w), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((128, 8), jnp.float32)],
-        interpret=interpret,
-    )(count, sb, bb, coef)
-    return out
-
-
-def _rasterize_pallas_tile32(tris, poses, width, height, proj, roi, interpret):
-    out_w, out_h = rz.roi_shape(width, height, roi)
-    poses = jnp.asarray(poses, jnp.float32)
-    n = poses.shape[0]
-
-    coef, bb, sb = _triangle_setup(tris, poses, proj, width, height, roi)
-    count, ty, tx = _tile_counts(sb, out_h, out_w, height, roi, tile_h=32, tile_w=32)
-    nb, nsb = bb.shape[1], sb.shape[1]
-
-    kernel = functools.partial(_kernel32, height=height, roi=roi, nsb=nsb, out_w=out_w)
-    out = pl.pallas_call(
-        kernel,
-        grid=(n, ty),
-        in_specs=[
-            pl.BlockSpec((1, ty, tx), lambda n_, y: (n_, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nsb, 4), lambda n_, y: (n_, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nb, 4), lambda n_, y: (n_, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (1, 16, coef.shape[2]), lambda n_, y: (n_, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 32, out_w), lambda n_, y: (n_, y, 0), memory_space=pltpu.VMEM
+            (1, sub_h, out_w), lambda n_, y: (n_, y, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, out_h, out_w), jnp.int32),
         scratch_shapes=[pltpu.VMEM((128, 8), jnp.float32)],

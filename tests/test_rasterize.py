@@ -208,6 +208,30 @@ def test_pallas_tile16_variant(scene_setup=None):
     assert (got != want).mean() < 1e-4
 
 
+def test_pallas_variants_agree():
+    """Every subtile geometry comes from ONE _make_kernel body; the three
+    instantiations must produce identical images (they share all arithmetic
+    - only the pixel packing differs)."""
+    from pose_refine_tpu.ops.rasterize_pallas import VARIANTS, rasterize_pallas
+
+    rng = np.random.default_rng(10)
+    m = mesh.make_bumpy_sphere(radius=40.0, subdivisions=3)
+    proj = geometry.compute_proj(small_K(), W, H)
+    poses = make_poses(2, rng)
+    tris = m.tris[mesh.morton_order(m.tris)]
+    roi = (32, 16, 96, 64)
+    outs = {
+        v: np.asarray(
+            rasterize_pallas(tris, poses, W, H, proj, roi=roi, interpret=True, variant=v)
+        )
+        for v in VARIANTS
+    }
+    ref = outs.pop("tile32")
+    assert ref.shape == (2, 64, 96)
+    for v, got in outs.items():
+        np.testing.assert_array_equal(got, ref, err_msg=f"variant {v}")
+
+
 def test_obj06_cpp_baseline_bit_parity():
     """Full-frame obj_06 @640x480: the jitted scatter rasterizer and the
     native C++ baseline implement the same arithmetic - expect bit equality
