@@ -53,9 +53,11 @@ struct Builder {
       for (int node : frontier) {
         const int left = bounds[2 * node];
         const int right = bounds[2 * node + 1];
-        if (right - left <= leaf_size) continue;  // stays a leaf
 
-        // bbox of the segment
+        // bbox of the segment - stored for EVERY node (leaves included):
+        // the device traversal prunes with the descend target's bbox
+        // (tighter than the reference's current-node check, and leaves
+        // are descend targets too)
         float lo[3], hi[3];
         for (int d = 0; d < 3; ++d) {
           lo[d] = std::numeric_limits<float>::max();
@@ -68,6 +70,14 @@ struct Builder {
             if (p[d] > hi[d]) hi[d] = p[d];
           }
         }
+        {
+          float* bb = bbox + 6 * node;
+          bb[0] = lo[0]; bb[1] = hi[0];
+          bb[2] = lo[1]; bb[3] = hi[1];
+          bb[4] = lo[2]; bb[5] = hi[2];
+        }
+        if (right - left <= leaf_size) continue;  // stays a leaf
+
         int dim = 0;
         float span = hi[0] - lo[0];
         for (int d = 1; d < 3; ++d) {
@@ -109,10 +119,6 @@ struct Builder {
         child[2 * node + 1] = c2;
         split_dim[node] = dim;
         split_v[node] = (split_low + split_high) / 2.0f;
-        float* bb = bbox + 6 * node;
-        bb[0] = lo[0]; bb[1] = hi[0];
-        bb[2] = lo[1]; bb[3] = hi[1];
-        bb[4] = lo[2]; bb[5] = hi[2];
 
         parent[c1] = node;
         parent[c2] = node;

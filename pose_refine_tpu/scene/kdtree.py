@@ -107,13 +107,19 @@ def build_kdtree(points, normals, leaf_size: int = 10, backend: str = "auto") ->
         next_frontier = []
         for node in frontier:
             left, right = bounds[node]
-            if right - left <= leaf_size:
-                continue  # stays a leaf
             seg = index[left:right]
             pts = points[seg]
 
             lo = pts.min(axis=0)
             hi = pts.max(axis=0)
+            # every node (leaves included) carries its subtree bbox: the
+            # traversal prunes with the DESCEND TARGET's bbox, which is
+            # strictly tighter than the reference's current-node check
+            # (pcd_scene.h:104-118 tests node_cur.bbox, whose box includes
+            # the already-visited child) while remaining exact
+            bbox[node] = (lo[0], hi[0], lo[1], hi[1], lo[2], hi[2])
+            if right - left <= leaf_size:
+                continue  # stays a leaf
             dim = int(np.argmax(hi - lo))
             mid = (lo[dim] + hi[dim]) / 2.0
 
@@ -141,7 +147,6 @@ def build_kdtree(points, normals, leaf_size: int = 10, backend: str = "auto") ->
             child[node] = (c1, c2)
             split_dim[node] = dim
             split_v[node] = sv
-            bbox[node] = (lo[0], hi[0], lo[1], hi[1], lo[2], hi[2])
 
             m = left + len(left_idx)
             bounds[c1] = (left, m)

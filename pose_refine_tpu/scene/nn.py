@@ -112,17 +112,84 @@ class SceneNN:
         scene size is the honest throughput lever for the NN backends. Pick
         well under the gate (e.g. 4 mm against 0.1 m); see
         scripts/nn_voxel_study.py for measured accuracy/speed trade-offs."""
-        from pose_refine_tpu.ops.depth_to_cloud import depth_image_to_points
-        from pose_refine_tpu.ops.normals import estimate_normals
-
-        pts, mask = depth_image_to_points(depth, K)
-        nrm = estimate_normals(depth, K)
-        m = np.asarray(mask).reshape(-1)
-        p = np.asarray(pts).reshape(-1, 3)[m]
-        n = np.asarray(nrm).reshape(-1, 3)[m]
+        pts, nrm, mask = jax.device_get(
+            _depth_scene_arrays(jnp.asarray(depth), jnp.asarray(K, jnp.float32))
+        )  # ONE fused program + one transfer (was three round-trips)
+        m = mask.reshape(-1)
+        p = pts.reshape(-1, 3)[m]
+        n = nrm.reshape(-1, 3)[m]
         if voxel_mm > 0.0:
             p, n = voxel_downsample(p, n, voxel_mm / 1000.0)
         return cls.from_cloud(p, n, max_dist_diff, leaf_size, backend)
+
+    @classmethod
+    def from_depth_device(
+        cls, depth, K, max_dist_diff=0.1, stride: int = 1,
+        tl_x: int = 0, tl_y: int = 0,
+    ) -> "SceneNN":
+        """Flash-backend NN scene built ENTIRELY ON DEVICE - jit-traceable,
+        so a tracking loop fuses the per-frame scene build into the
+        refinement program (the reference rebuilds Scene_nn on the host
+        every frame, pcd_scene.cpp:4-37; the projective twin of this fusion
+        is pipeline.track_poses_jit).
+
+        TPU-native re-design of the build: no compaction, no kd-tree. The
+        strided pixel grid IS the scene table (static shape); invalid
+        pixels are parked 1e6 m away, where they can never win a min and
+        entirely-invalid chunks fall to the gated kernel's bbox pruning. A
+        STATIC Morton permutation of the (row, col) grid - computed at
+        trace time, one free gather at run time - makes the 128-point
+        chunks spatially tight, which is what the chunk-bbox pruning needs
+        (the host build gets the same effect from the kd reorder).
+
+        Exact: for every query whose true neighbor is a valid pixel within
+        the gate, the result equals the host-built scene's. stride > 1
+        subsamples the scene grid (the device analog of voxel_mm).
+        """
+        from pose_refine_tpu.ops.depth_to_cloud import depth_image_to_points
+        from pose_refine_tpu.ops.normals import estimate_normals
+        from pose_refine_tpu.scene.nn_pallas import chunk_boxes, pack_scene
+
+        depth = jnp.asarray(depth)
+        nrm = estimate_normals(depth, K)  # full-res stencil (reference res)
+        pts, mask = depth_image_to_points(depth, K, tl_x=tl_x, tl_y=tl_y)
+        if stride != 1:
+            pts = pts[::stride, ::stride]
+            nrm = nrm[::stride, ::stride]
+            mask = mask[::stride, ::stride]
+        h, w = mask.shape
+        perm = jnp.asarray(_grid_morton_perm(h, w))  # static permutation
+        p = pts.reshape(-1, 3)[perm]
+        n = nrm.reshape(-1, 3)[perm]
+        m = mask.reshape(-1)[perm]
+
+        far = jnp.float32(1.0e6)  # meters; beyond any gate, ssq << BIG
+        p_tab = jnp.where(m[:, None], p, far)
+        flash_table = pack_scene(p_tab)
+        packed = jnp.concatenate(
+            [p_tab, n, jnp.zeros((p.shape[0], 2), jnp.float32)], axis=1
+        )
+        one_i = jnp.zeros((1,), jnp.int32)
+        return cls(
+            points=p_tab,
+            normals=n,
+            table=packed,
+            flash_table=flash_table,
+            flash_boxes=chunk_boxes(flash_table),
+            # kd arrays stubbed: this scene serves the flash/bruteforce
+            # backends only (the kd build is inherently host work)
+            parent=one_i - 1,
+            child=jnp.full((1, 2), -1, jnp.int32),
+            split_dim=one_i,
+            split_v=jnp.zeros((1,), jnp.float32),
+            bbox=jnp.zeros((1, 6), jnp.float32),
+            bounds=jnp.stack([one_i, one_i + p.shape[0]], axis=1),
+            max_dist_diff=jnp.float32(max_dist_diff)
+            if not isinstance(max_dist_diff, jnp.ndarray) else max_dist_diff,
+            leaf_cap=1,
+            backend="bruteforce",
+            max_steps=1,
+        )
 
     # ------------------------------------------------------------------ query
 
@@ -181,13 +248,24 @@ def voxel_downsample(points, normals, voxel_m: float):
     return ps.astype(np.float32), ns.astype(np.float32)
 
 
-def _nn_kdtree(src, scene: SceneNN):
+def _nn_kdtree(src, scene: SceneNN, prune: str = "far", return_steps: bool = False):
     """Stackless kd-tree NN for a batch of query points.
 
     One lax.while_loop per point (vmapped): descend toward the query; at a
-    leaf, scan its <= leaf_cap points; backtrack via parent pointers, visiting
-    the far child only when its subtree bbox could still beat the best
-    distance (pcd_scene.h:84-124). A step cap bounds the loop statically.
+    leaf, scan its <= leaf_cap points; backtrack via parent pointers,
+    visiting the far child only when a bbox says it could still beat the
+    best distance (pcd_scene.h:84-124). A step cap bounds the loop
+    statically.
+
+    prune: which bbox gates the far-child descent.
+      "far"  - the FAR CHILD's own subtree bbox (default): strictly tighter
+               than the reference while still exact - the current node's
+               bbox also spans the already-visited child, so its
+               min-possible distance is never larger. Requires leaf bboxes
+               (kdtree.py fills every node's bbox).
+      "node" - the current node's bbox, bit-matching the reference
+               traversal (pcd_scene.h:104-118); kept for the measured
+               step-count comparison (scripts/kd_pruning_study.py).
     """
     leaf_cap = scene.leaf_cap
     max_steps = scene.max_steps
@@ -224,8 +302,11 @@ def _nn_kdtree(src, scene: SceneNN):
             bd2 = jnp.where(upd, leaf_bd, bd)
             bi2 = jnp.where(upd, leaf_bi, bi)
 
-            # --- bbox min-possible-distance pruning (pcd_scene.h:104-111) ---
-            bb = scene.bbox[cur]
+            # --- bbox min-possible-distance pruning (pcd_scene.h:104-111).
+            # prune="far" tests the far child's own subtree box (other is a
+            # real node whenever the gate is consulted: backtrack mode only
+            # reaches interior nodes, which always have both children) ---
+            bb = scene.bbox[other] if prune == "far" else scene.bbox[cur]
             lo = bb[0::2]
             hi = bb[1::2]
             delta = jnp.maximum(lo - p, 0.0) + jnp.maximum(p - hi, 0.0)
@@ -247,11 +328,14 @@ def _nn_kdtree(src, scene: SceneNN):
 
         init = (jnp.int32(0), jnp.int32(-1), jnp.asarray(False), jnp.int32(0), FLT_MAX, jnp.int32(0))
         cur, last, back, bi, bd, steps = jax.lax.while_loop(cond, body, init)
-        return bi, bd
+        return bi, bd, steps
 
     flat = src.reshape(-1, 3)
-    idx, dist = jax.vmap(one)(flat)
-    return idx.reshape(src.shape[:-1]), dist.reshape(src.shape[:-1])
+    idx, dist, steps = jax.vmap(one)(flat)
+    shape = src.shape[:-1]
+    if return_steps:
+        return idx.reshape(shape), dist.reshape(shape), steps.reshape(shape)
+    return idx.reshape(shape), dist.reshape(shape)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))

@@ -260,3 +260,31 @@ def test_scene_voxel_downsample_recovers(rng):
     ang_err = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
     assert ang_err < 4.0, f"voxel-downsampled NN scene off by {ang_err} deg"
     assert float(results.fitness) > 0.7
+
+
+def test_far_child_pruning_exact_and_tighter():
+    """prune='far' (the default) gates on the descend-target's bbox:
+    identical NN distances to the reference-parity prune='node' traversal,
+    with strictly fewer traversal steps (measured ~70% fewer on the obj_06
+    scene, scripts/kd_pruning_study.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pose_refine_tpu.scene.nn import SceneNN, _nn_kdtree
+
+    rng = np.random.default_rng(12)
+    pts = rng.uniform(0, 0.3, (3000, 3)).astype(np.float32)
+    nrm = np.tile(np.float32([[0, 0, 1]]), (3000, 1))
+    scene = SceneNN.from_cloud(pts, nrm)
+    # leaves carry their bboxes now (required for far-child pruning)
+    leaf = np.asarray(scene.child)[:, 0] < 0
+    bb = np.asarray(scene.bbox)[leaf]
+    assert (bb[:, 1] >= bb[:, 0]).all() and (bb[:, 1] > 0).any()
+
+    q = jnp.asarray(pts[:512] + rng.normal(0, 0.01, (512, 3)).astype(np.float32))
+    i_f, d_f, s_f = jax.jit(
+        lambda s: _nn_kdtree(s, scene, prune="far", return_steps=True))(q)
+    i_n, d_n, s_n = jax.jit(
+        lambda s: _nn_kdtree(s, scene, prune="node", return_steps=True))(q)
+    np.testing.assert_array_equal(np.asarray(d_f), np.asarray(d_n))
+    assert float(np.mean(np.asarray(s_f))) < 0.7 * float(np.mean(np.asarray(s_n)))
