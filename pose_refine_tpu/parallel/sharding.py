@@ -127,10 +127,14 @@ def _sharded_fn(
 ):
     """Build (and cache) the jitted sharded program for the fused refine
     (kind='refine') or the fused per-frame scene-build+refine
-    (kind='track'). Cached on the static configuration so repeated calls
-    reuse one jit wrapper - a fresh jax.jit object per call would re-trace
-    every time."""
-    from pose_refine_tpu.pipeline import refine_poses_jit, track_poses_jit
+    (kind='track' projective / 'track_nn' device-built NN scene). Cached on
+    the static configuration so repeated calls reuse one jit wrapper - a
+    fresh jax.jit object per call would re-trace every time."""
+    from pose_refine_tpu.pipeline import (
+        refine_poses_jit,
+        track_poses_jit,
+        track_poses_nn_jit,
+    )
 
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(axis))
@@ -152,7 +156,7 @@ def _sharded_fn(
             repl,                                        # K
         )
     else:  # track: scene built in-program from the replicated frame depth
-        fn = track_poses_jit
+        fn = track_poses_jit if kind == "track" else track_poses_nn_jit
         in_shardings = (
             tris_sharding,                               # tris
             pose_sh,                                     # poses

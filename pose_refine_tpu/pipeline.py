@@ -201,6 +201,7 @@ class PoseRefiner:
         render_scale: int = 1,
         decimate_mm: float = 0.0,
         scene_voxel_mm: float = 0.0,
+        scene_stride: int = 1,
         robust_delta: float = 0.0,
         devices=None,
     ):
@@ -232,6 +233,11 @@ class PoseRefiner:
         # scene size is the honest NN-throughput lever; no effect on the
         # projective scene (its query is an image-space gather, size-free).
         self.scene_voxel_mm = float(scene_voxel_mm)
+        # scene_stride: subsampling of the DEVICE-BUILT NN scene grid used
+        # by track() with NN scenes (from_depth_device) - the on-device
+        # analog of scene_voxel_mm (which needs host scatter). No effect on
+        # projective scenes or host-built NN scenes.
+        self.scene_stride = int(scene_stride)
         self.K = np.asarray(K, np.float32)
         self.width, self.height = int(width), int(height)
         self.proj = geometry.compute_proj(self.K, self.width, self.height)
@@ -243,12 +249,25 @@ class PoseRefiner:
         # scene keeps full sensor resolution. window/stride/roi are in
         # RENDER pixels.
         self.render_scale = int(render_scale)
-        if width % self.render_scale or height % self.render_scale:
-            raise ValueError("render_scale must divide width and height")
         self.render_w = self.width // self.render_scale
         self.render_h = self.height // self.render_scale
         self.K_render = self.K.copy()
         self.K_render[:2] /= self.render_scale
+        if width % self.render_scale or height % self.render_scale:
+            # non-divisible scales (e.g. 3 into 640x480): floor the render
+            # dims and build the projection FROM the scaled intrinsics so
+            # raster and lift agree exactly; the only approximation is that
+            # the right/bottom fringe (width % scale source pixels) falls
+            # outside the hypothesis render - no observed-scene data is lost
+            # (the scene stays full resolution)
+            self.proj = geometry.compute_proj(
+                self.K_render, self.render_w, self.render_h
+            )
+            logger.info(
+                "render_scale %d does not divide %dx%d: rendering %dx%d "
+                "(right/bottom fringe cropped from hypothesis renders)",
+                self.render_scale, width, height, self.render_w, self.render_h,
+            )
         # window="auto" / max_points="auto": size the lift geometry from the
         # observed object at set_scene_depth time, reproducing what the
         # hand-tuned bench studies found for obj_06 on ANY object
@@ -699,15 +718,22 @@ class PoseRefiner:
         _tris=None,
     ):
         """One tracking step: rebuild the scene from this frame's depth AND
-        refine, fused into a single program (track_poses_jit). Use in
-        per-frame loops where set_scene_depth + refine would pay two
-        dispatches; projective scenes only (NN scenes build their kd
-        structure on the host). Does not touch self.scene.
+        refine, fused into a single program. Use in per-frame loops where
+        set_scene_depth + refine would pay two dispatches. Projective
+        scenes fuse via track_poses_jit; NN scenes ('nn'/'nn_bruteforce')
+        via track_poses_nn_jit with a fully on-device flash-scene build
+        (scene_stride subsamples the scene grid - set it where you would
+        set scene_voxel_mm, e.g. stride 2 ~ the pixel pitch at that depth).
+        'nn_kdtree' cannot fuse (kd builds are inherently host work) - use
+        set_scene_depth + refine there. Does not touch self.scene.
 
         Returns (refined (N, 4, 4), RegistrationResult)."""
-        if self.scene_kind != "projective":
-            raise ValueError("track() supports scene='projective' only; "
-                             "use set_scene_depth + refine for NN scenes")
+        if self.scene_kind == "nn_kdtree":
+            raise ValueError(
+                "track() cannot fuse a kd-tree scene build (host work); "
+                "use scene='nn' / 'nn_bruteforce' (flash backend) or "
+                "set_scene_depth + refine"
+            )
         init_arr = np.asarray(init_poses)
         if init_arr.shape[-2:] != (4, 4) or init_arr.ndim not in (2, 3):
             raise ValueError(
@@ -720,6 +746,10 @@ class PoseRefiner:
         if squeeze:
             init_poses = init_poses[None]
         tris = jnp.asarray(self.tris if _tris is None else _tris)
+        projective = self.scene_kind == "projective"
+        items = self._pipeline_items(criteria)
+        if not projective:
+            items = items + (("scene_stride", self.scene_stride),)
         mesh = self._device_mesh()
         if mesh is not None:
             # multi-chip tracking: frame depth replicates (the in-program
@@ -727,9 +757,10 @@ class PoseRefiner:
             from pose_refine_tpu.parallel import sharding as _sh
 
             fn = _sh._sharded_fn(
-                "track", mesh, "dp", self.render_w, self.render_h,
+                "track" if projective else "track_nn", mesh, "dp",
+                self.render_w, self.render_h,
                 self.max_points, criteria, self.use_pallas, None,
-                self._pipeline_items(criteria), tris_per_pose=tris.ndim == 4,
+                items, tris_per_pose=tris.ndim == 4,
             )
             poses_p, tris_p, n = _sh.pad_to_devices(mesh.size, init_poses, tris)
             refined, results = fn(
@@ -740,7 +771,8 @@ class PoseRefiner:
             )
             refined, results = _sh.unpad_results(n, refined, results)
         else:
-            refined, results = track_poses_jit(
+            fn = track_poses_jit if projective else track_poses_nn_jit
+            refined, results = fn(
                 tris,
                 init_poses,
                 jnp.asarray(frame_depth),
@@ -753,12 +785,7 @@ class PoseRefiner:
                 self.max_points,
                 criteria,
                 self.use_pallas,
-                lift=self.lift,
-                window=self.window,
-                stride=self.stride,
-                roi=self.roi,
-                chunk_iters=self._resolve_chunk_iters(criteria),
-                robust_delta=self.robust_delta,
+                **dict(items),
             )
         self._warn_if_saturated(results)
         if squeeze:
@@ -806,6 +833,38 @@ def track_poses_jit(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "max_points", "criteria", "use_pallas",
+        "lift", "window", "stride", "roi", "chunk_iters", "robust_delta",
+        "scene_stride",
+    ),
+)
+def track_poses_nn_jit(
+    tris, init_poses, frame_depth, proj, K_render, K_full, max_dist,
+    width, height, max_points, criteria, use_pallas,
+    lift="window", window=256, stride=2, roi=(0, 0, 0, 0), chunk_iters=8,
+    robust_delta=0.0, scene_stride=1,
+):
+    """Per-frame NN-scene build FUSED with refinement - the NN twin of
+    track_poses_jit. The reference rebuilds Scene_nn on the HOST every
+    frame (normals + compaction + kd build + upload, pcd_scene.cpp:4-37);
+    here the whole build is device arithmetic (SceneNN.from_depth_device:
+    grid table, far-filled invalid pixels, static Morton order) so it
+    traces into the same program as render->lift->ICP. scene_stride
+    subsamples the scene grid (the device analog of voxel downsampling)."""
+    scene = SceneNN.from_depth_device(
+        frame_depth, K_full, max_dist, stride=scene_stride
+    )
+    return refine_poses_jit(
+        tris, init_poses, scene, proj, K_render,
+        width=width, height=height, max_points=max_points, criteria=criteria,
+        use_pallas=use_pallas, lift=lift, window=window, stride=stride,
+        roi=roi, chunk_iters=chunk_iters, robust_delta=robust_delta,
+    )
+
+
 class MultiModelRefiner(PoseRefiner):
     """Refine hypotheses of SEVERAL models against one scene in ONE fused
     program (beyond parity: the reference binds one mesh per renderer and
@@ -816,6 +875,13 @@ class MultiModelRefiner(PoseRefiner):
     ordered, optionally decimated, padded with zero-area triangles to a
     common count and stacked into an (M, T, 3, 3) device table; refine()
     gathers per-pose triangles by model id and runs the standard pipeline.
+
+    Memory: the per-pose gather materializes N x Tmax x 36 bytes of HBM
+    (e.g. 256 hypotheses of an undecimated 31k-tri mesh ~ 290 MB) - cost
+    scales with BATCH SIZE x the largest model, not model count. For large
+    batches of heavy meshes, set decimate_mm (4 mm cuts obj_06 to 5.2k
+    tris ~ 48 MB at batch 256, measured strictly dominant) or split the
+    batch; the (M, T, 3, 3) master table itself is shared.
 
     Example:
         refiner = MultiModelRefiner([model_a, model_b], K=K)

@@ -72,20 +72,25 @@ class SceneNN:
         # while_loop exits on cur<0 long before this in practice, and the cap
         # costs nothing (while_loop work is data-dependent, not bound-bound)
         max_steps = 3 * tree.n_nodes + 2
-        from pose_refine_tpu.scene.nn_pallas import chunk_boxes, pack_scene
 
-        pts = jnp.asarray(tree.points)
-        nrm = jnp.asarray(tree.normals)
-        packed = jnp.concatenate(
-            [pts, nrm, jnp.zeros((pts.shape[0], 2), jnp.float32)], axis=1
+        # flash tables assembled in NUMPY: on tunneled runtimes every eager
+        # device op is a ~28 ms dispatch and each new scene size a fresh
+        # compile - a per-frame rebuild must touch the device only for the
+        # final uploads (measured in scripts/nn_rebuild_study.py)
+        pts_np = tree.points
+        packed = np.concatenate(
+            [pts_np, tree.normals, np.zeros((len(pts_np), 2), np.float32)],
+            axis=1,
         )
-        flash_table = pack_scene(pts)
+        flash_table = _pack_scene_np(pts_np)
+        pts = jnp.asarray(pts_np)
+        nrm = jnp.asarray(tree.normals)
         return cls(
             points=pts,
             normals=nrm,
-            table=packed,
-            flash_table=flash_table,
-            flash_boxes=chunk_boxes(flash_table),
+            table=jnp.asarray(packed),
+            flash_table=jnp.asarray(flash_table),
+            flash_boxes=jnp.asarray(_chunk_boxes_np(flash_table)),
             parent=jnp.asarray(tree.parent),
             child=jnp.asarray(tree.child),
             split_dim=jnp.asarray(tree.split_dim),
@@ -112,9 +117,16 @@ class SceneNN:
         scene size is the honest throughput lever for the NN backends. Pick
         well under the gate (e.g. 4 mm against 0.1 m); see
         scripts/nn_voxel_study.py for measured accuracy/speed trade-offs."""
-        pts, nrm, mask = jax.device_get(
-            _depth_scene_arrays(jnp.asarray(depth), jnp.asarray(K, jnp.float32))
-        )  # ONE fused program + one transfer (was three round-trips)
+        if isinstance(depth, jax.Array) and jax.default_backend() != "cpu":
+            # device-resident depth: one fused program + one transfer
+            pts, nrm, mask = jax.device_get(
+                _depth_scene_arrays(depth, jnp.asarray(K, jnp.float32))
+            )
+        else:
+            # sensor depth starts on the host: vectorized numpy beats the
+            # device round trip by ~5x on tunneled runtimes (measured,
+            # scripts/nn_rebuild_study.py)
+            pts, nrm, mask = _depth_scene_arrays_host(depth, K)
         m = mask.reshape(-1)
         p = pts.reshape(-1, 3)[m]
         n = nrm.reshape(-1, 3)[m]
@@ -217,6 +229,133 @@ class SceneNN:
         valid = dist_sq < self.max_dist_diff * self.max_dist_diff
         rows = jnp.take(self.table, idx, axis=0)  # single packed gather
         return rows[..., 0:3], rows[..., 3:6], valid
+
+
+def _pack_scene_np(pts: np.ndarray) -> np.ndarray:
+    """Numpy twin of nn_pallas.pack_scene (host scene builds must not touch
+    the device - see from_cloud). Identical layout: (8, S_pad) field-major
+    [x, y, z, |s|^2], padded entries carry |s|^2 = BIG with the last real
+    point's coords (tight chunk boxes)."""
+    from pose_refine_tpu.scene.nn_pallas import BIG, S_CHUNK
+
+    s = np.ascontiguousarray(pts, np.float32)
+    ns = s.shape[0]
+    spad = (-ns) % S_CHUNK
+    ssq = np.sum(s * s, axis=-1, keepdims=True, dtype=np.float32)
+    stab = np.concatenate([s, ssq, np.zeros((ns, 4), np.float32)], axis=1)
+    if spad:
+        pad_rows = np.concatenate(
+            [np.broadcast_to(s[-1:], (spad, 3)),
+             np.full((spad, 1), BIG, np.float32),
+             np.zeros((spad, 4), np.float32)], axis=1)
+        stab = np.concatenate([stab, pad_rows], axis=0)
+    return np.ascontiguousarray(stab.T)
+
+
+def _chunk_boxes_np(scene_table: np.ndarray) -> np.ndarray:
+    """Numpy twin of nn_pallas.chunk_boxes."""
+    from pose_refine_tpu.scene.nn_pallas import S_CHUNK
+
+    pts = scene_table[:3].reshape(3, -1, S_CHUNK)
+    lo = pts.min(axis=2).T
+    hi = pts.max(axis=2).T
+    z = np.zeros((lo.shape[0], 1), np.float32)
+    return np.concatenate([lo, z, hi, z], axis=1).astype(np.float32)
+
+
+@jax.jit
+def _depth_scene_arrays(depth, K):
+    """Fused depth -> (point image, normals, mask) for the host scene build:
+    one program, one device->host transfer (each separate np.asarray costs a
+    ~30 ms round trip on tunneled runtimes)."""
+    from pose_refine_tpu.ops.depth_to_cloud import depth_image_to_points
+    from pose_refine_tpu.ops.normals import estimate_normals
+
+    pts, mask = depth_image_to_points(depth, K)
+    nrm = estimate_normals(depth, K)
+    return pts, nrm, mask
+
+
+def _depth_scene_arrays_host(depth, K, radius: int = 5,
+                             difference_threshold: int = 50,
+                             distance_threshold: int = 2000):
+    """Numpy twin of _depth_scene_arrays for the HOST scene build: the
+    sensor depth starts on the host, and shipping full-frame point/normal
+    images back from the device costs ~170 ms through the tunnel (measured,
+    scripts/nn_rebuild_study.py) vs ~30 ms of vectorized numpy. Same
+    arithmetic (int stencil accumulators, f32 products) as ops/normals.py
+    and ops/depth_to_cloud.py; equality is pinned in tests."""
+    from pose_refine_tpu.ops.normals import _OFFSETS
+
+    d = np.asarray(depth).astype(np.int32)
+    h, w = d.shape
+    Kf = np.asarray(K, np.float32)
+    r = radius
+    pad = np.pad(d, r)
+
+    a0 = np.zeros((h, w), np.int32)
+    a1 = np.zeros((h, w), np.int32)
+    a3 = np.zeros((h, w), np.int32)
+    b0 = np.zeros((h, w), np.int32)
+    b1 = np.zeros((h, w), np.int32)
+    for ox, oy in _OFFSETS:
+        dx, dy = ox * r, oy * r
+        neighbor = pad[r + dy: r + dy + h, r + dx: r + dx + w]
+        delta = neighbor - d
+        f = (np.abs(delta) < difference_threshold).astype(np.int32)
+        a0 += f * (dx * dx)
+        a1 += f * (dx * dy)
+        a3 += f * (dy * dy)
+        b0 += f * dx * delta
+        b1 += f * dy * delta
+    det = a0 * a3 - a1 * a1
+    ddx = a3 * b0 - a1 * b1
+    ddy = -a1 * b0 + a0 * b1
+    nx = Kf[0, 0] * ddx.astype(np.float32)
+    ny = Kf[1, 1] * ddy.astype(np.float32)
+    nz = -det.astype(np.float32) * d.astype(np.float32)
+    norm = np.sqrt(nx * nx + ny * ny + nz * nz)
+    row = np.arange(h)[:, None]
+    col = np.arange(w)[None, :]
+    interior = (row >= r) & (row < h - r - 1) & (col >= r) & (col < w - r - 1)
+    ok = (d < distance_threshold) & (norm > 0) & interior
+    inv = np.where(ok, np.float32(1.0) / np.where(norm > 0, norm, np.float32(1.0)),
+                   np.float32(0.0)).astype(np.float32)
+    nrm = np.stack([nx * inv, ny * inv, nz * inv], axis=-1)
+
+    u = np.arange(w, dtype=np.float32)[None, :]
+    v = np.arange(h, dtype=np.float32)[:, None]
+    z = (d.astype(np.float32) / np.float32(1000.0))
+    x = (u - Kf[0, 2]) / Kf[0, 0] * z
+    y = (v - Kf[1, 2]) / Kf[1, 1] * z
+    mask = d > 0
+    pts = np.stack([x, y, z], axis=-1).astype(np.float32)
+    pts = np.where(mask[..., None], pts, np.float32(0.0))
+    return pts, nrm.astype(np.float32), mask
+
+
+@functools.lru_cache(maxsize=64)
+def _grid_morton_perm(h: int, w: int) -> np.ndarray:
+    """Morton (Z-curve) permutation of the row-major (h, w) pixel grid.
+
+    Static per grid shape (cached, computed in numpy at trace time): applied
+    as one gather it orders scene entries so 128-point chunks cover compact
+    pixel squares - the tight 3D chunk bboxes the gated flash kernel's
+    pruning needs (the host build gets this from the kd reorder; raw
+    row-major chunks are 128-px-wide slivers)."""
+    yy, xx = np.meshgrid(
+        np.arange(h, dtype=np.uint32), np.arange(w, dtype=np.uint32), indexing="ij"
+    )
+
+    def spread(v):  # interleave 16 bits with 1-bit gaps
+        v = (v | (v << 8)) & np.uint32(0x00FF00FF)
+        v = (v | (v << 4)) & np.uint32(0x0F0F0F0F)
+        v = (v | (v << 2)) & np.uint32(0x33333333)
+        v = (v | (v << 1)) & np.uint32(0x55555555)
+        return v
+
+    code = spread(xx) | (spread(yy) << np.uint32(1))
+    return np.argsort(code.reshape(-1), kind="stable")
 
 
 def voxel_downsample(points, normals, voxel_m: float):

@@ -146,8 +146,8 @@ GQ_TILE = 512  # queries per grid step for the gated kernel (tighter tile
 
 
 def _kernel_gated(gate_ref, boxes_ref, scene_ref, q_ref, idx_ref, dist_ref,
-                  best_ref, bchunk_ref):
-    """Flash-NN with chunk-level bbox pruning against the association gate.
+                  best_ref, bchunk_ref, *, group: int):
+    """Flash-NN with bbox pruning against the association gate.
 
     The reference query accepts a neighbor only if dist^2 < max_dist_diff^2
     (pcd_scene.h:127), so a scene chunk whose bbox is farther than the gate
@@ -156,6 +156,11 @@ def _kernel_gated(gate_ref, boxes_ref, scene_ref, q_ref, idx_ref, dist_ref,
     to the reference's kd-tree pruning (SURVEY step-5 fallback): work scales
     with the scene actually near the object, not total scene size, while
     control flow stays a predicated dense scan (no divergent traversal).
+
+    Boxes gate GROUPS of `group` chunks: SMEM scalars pad to 16 bytes each,
+    so per-chunk boxes overflow the ~1 MB SMEM budget past ~2000 chunks
+    (260k scene points) - nn_flash_gated picks the smallest group that
+    fits. group == 1 for ordinary scenes (per-chunk pruning, unchanged).
     """
     qx = q_ref[:, 0:1]
     qy = q_ref[:, 1:2]
@@ -165,32 +170,39 @@ def _kernel_gated(gate_ref, boxes_ref, scene_ref, q_ref, idx_ref, dist_ref,
     qlo_y, qhi_y = jnp.min(q_ref[:, 1]), jnp.max(q_ref[:, 1])
     qlo_z, qhi_z = jnp.min(q_ref[:, 2]), jnp.max(q_ref[:, 2])
     gate2 = gate_ref[0, 0]
-    n_chunks = scene_ref.shape[1] // S_CHUNK
+    n_groups = boxes_ref.shape[0]
 
     best_ref[...] = jnp.full((GQ_TILE, S_CHUNK), BIG, jnp.float32)
     bchunk_ref[...] = jnp.zeros((GQ_TILE, S_CHUNK), jnp.int32)
 
-    def body(c, _):
-        dx = jnp.maximum(jnp.maximum(boxes_ref[c, 0] - qhi_x, qlo_x - boxes_ref[c, 4]), 0.0)
-        dy = jnp.maximum(jnp.maximum(boxes_ref[c, 1] - qhi_y, qlo_y - boxes_ref[c, 5]), 0.0)
-        dz = jnp.maximum(jnp.maximum(boxes_ref[c, 2] - qhi_z, qlo_z - boxes_ref[c, 6]), 0.0)
+    def body(g, _):
+        dx = jnp.maximum(jnp.maximum(boxes_ref[g, 0] - qhi_x, qlo_x - boxes_ref[g, 4]), 0.0)
+        dy = jnp.maximum(jnp.maximum(boxes_ref[g, 1] - qhi_y, qlo_y - boxes_ref[g, 5]), 0.0)
+        dz = jnp.maximum(jnp.maximum(boxes_ref[g, 2] - qhi_z, qlo_z - boxes_ref[g, 6]), 0.0)
         reachable = dx * dx + dy * dy + dz * dz <= gate2
 
         @pl.when(reachable)
         def _():
-            off = pl.multiple_of(c * S_CHUNK, S_CHUNK)
-            sx = scene_ref[0:1, pl.ds(off, S_CHUNK)]
-            sy = scene_ref[1:2, pl.ds(off, S_CHUNK)]
-            sz = scene_ref[2:3, pl.ds(off, S_CHUNK)]
-            ss = scene_ref[3:4, pl.ds(off, S_CHUNK)]
-            score = ss - 2.0 * (qx * sx + qy * sy + qz * sz)
-            better = score < best_ref[...]  # strict: earlier chunk keeps ties
-            best_ref[...] = jnp.where(better, score, best_ref[...])
-            bchunk_ref[...] = jnp.where(better, c, bchunk_ref[...])
+            def chunk_body(c, _c):
+                off = pl.multiple_of(c * S_CHUNK, S_CHUNK)
+                sx = scene_ref[0:1, pl.ds(off, S_CHUNK)]
+                sy = scene_ref[1:2, pl.ds(off, S_CHUNK)]
+                sz = scene_ref[2:3, pl.ds(off, S_CHUNK)]
+                ss = scene_ref[3:4, pl.ds(off, S_CHUNK)]
+                score = ss - 2.0 * (qx * sx + qy * sy + qz * sz)
+                better = score < best_ref[...]  # strict: earlier chunk keeps ties
+                best_ref[...] = jnp.where(better, score, best_ref[...])
+                bchunk_ref[...] = jnp.where(better, c, bchunk_ref[...])
+                return 0
+
+            n_chunks = scene_ref.shape[1] // S_CHUNK
+            jax.lax.fori_loop(
+                g * group, jnp.minimum((g + 1) * group, n_chunks), chunk_body, 0
+            )
 
         return 0
 
-    jax.lax.fori_loop(0, n_chunks, body, 0)
+    jax.lax.fori_loop(0, n_groups, body, 0)
 
     best = best_ref[...]
     bchunk = bchunk_ref[...]
@@ -226,9 +238,25 @@ def nn_flash_gated(queries, scene_table, boxes, max_dist, interpret: bool = Fals
         jnp.asarray(max_dist, jnp.float32) * jnp.asarray(max_dist, jnp.float32),
         (1, 1),
     )
+    # SMEM scalars pad to 16 B each; keep the box table <= ~1024 rows by
+    # gating GROUPS of chunks for very large scenes (group 1 = per-chunk)
+    n_chunks = boxes.shape[0]
+    group = -(-n_chunks // 1024)
+    if group > 1:
+        pad = (-n_chunks) % group
+        if pad:
+            empty = jnp.concatenate(
+                [jnp.full((pad, 3), BIG), jnp.zeros((pad, 1)),
+                 jnp.full((pad, 3), -BIG), jnp.zeros((pad, 1))], axis=1
+            ).astype(jnp.float32)
+            boxes = jnp.concatenate([boxes, empty], axis=0)
+        b = boxes.reshape(-1, group, 8)
+        boxes = jnp.concatenate(
+            [b[..., :4].min(axis=1), b[..., 4:].max(axis=1)], axis=1
+        )
     grid = (qtab.shape[0] // GQ_TILE,)
     idx, dist = pl.pallas_call(
-        _kernel_gated,
+        functools.partial(_kernel_gated, group=group),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),

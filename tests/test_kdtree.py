@@ -288,3 +288,36 @@ def test_far_child_pruning_exact_and_tighter():
         lambda s: _nn_kdtree(s, scene, prune="node", return_steps=True))(q)
     np.testing.assert_array_equal(np.asarray(d_f), np.asarray(d_n))
     assert float(np.mean(np.asarray(s_f))) < 0.7 * float(np.mean(np.asarray(s_n)))
+
+
+def test_nn_matches_scipy_ckdtree():
+    """Authorship-independent NN anchor: every backend against
+    scipy.spatial.cKDTree on the same cloud (distances must match exactly
+    up to f32 evaluation; scipy computes in f64, so compare squared
+    distances with a tight tolerance)."""
+    import jax.numpy as jnp
+    from scipy.spatial import cKDTree
+
+    from pose_refine_tpu.scene.nn import SceneNN, _nn_bruteforce, _nn_kdtree
+
+    rng = np.random.default_rng(21)
+    pts = rng.uniform(-0.2, 0.2, (4000, 3)).astype(np.float32)
+    nrm = np.tile(np.float32([[0, 0, 1]]), (4000, 1))
+    scene = SceneNN.from_cloud(pts, nrm)
+    q = rng.uniform(-0.25, 0.25, (1000, 3)).astype(np.float32)
+
+    d_ref, i_ref = cKDTree(np.asarray(scene.points, np.float64)).query(
+        q.astype(np.float64))
+
+    for name, fn in (
+        ("kdtree", lambda: _nn_kdtree(jnp.asarray(q), scene)),
+        ("bruteforce", lambda: _nn_bruteforce(jnp.asarray(q), scene.points)),
+    ):
+        idx, dsq = map(np.asarray, fn())
+        # distances agree to f32 evaluation error (the bruteforce
+        # |p|^2-2pq+|q|^2 form carries ~1e-8 absolute cancellation noise)
+        np.testing.assert_allclose(
+            dsq, d_ref**2, rtol=2e-3, atol=3e-8, err_msg=name
+        )
+        # and >99% of indices should be the literal same point
+        assert (idx == i_ref).mean() > 0.99, name

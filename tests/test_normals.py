@@ -79,3 +79,29 @@ def test_slanted_plane_normal_direction():
     assert mid[2] < 0  # facing the camera
     assert mid[0] > 0.1  # depth increases with +x -> normal tilts +x
     assert abs(mid[1]) < 1e-3
+
+
+def test_host_scene_arrays_match_device_path():
+    """The numpy host twin used by SceneNN.from_depth must match the jnp
+    device functions bit-for-bit (same int accumulators, f32 products)."""
+    import jax.numpy as jnp
+
+    from pose_refine_tpu import geometry
+    from pose_refine_tpu.ops.depth_to_cloud import depth_image_to_points
+    from pose_refine_tpu.ops.normals import estimate_normals
+    from pose_refine_tpu.scene.nn import _depth_scene_arrays_host
+
+    rng = np.random.default_rng(7)
+    depth = (rng.uniform(200, 1000, (48, 64)) *
+             (rng.random((48, 64)) > 0.25)).astype(np.int32)
+    K = geometry.LINEMOD_K.copy()
+    K[:2] *= 0.1
+
+    hp, hn, hm = _depth_scene_arrays_host(depth, K)
+    dp, dm = depth_image_to_points(depth, K)
+    dn = estimate_normals(depth, K)
+    np.testing.assert_array_equal(hm, np.asarray(dm))
+    # XLA contracts (u-cx)/fx*z into FMAs (--xla_allow_excess_precision);
+    # numpy cannot - agreement is one ULP, i.e. sub-nanometer at meter scale
+    np.testing.assert_allclose(hp, np.asarray(dp), rtol=5e-7, atol=1e-9)
+    np.testing.assert_allclose(hn, np.asarray(dn), rtol=2e-6, atol=2e-7)

@@ -398,8 +398,10 @@ def test_track_matches_set_scene_plus_refine(setup):
     np.testing.assert_allclose(np.asarray(tracked), np.asarray(refined), atol=1e-5)
     np.testing.assert_allclose(float(res_t.fitness), float(res_r.fitness), atol=1e-6)
 
-    with pytest.raises(ValueError, match="projective"):
-        prt.PoseRefiner(m, K=K, width=W, height=H, scene="nn_bruteforce",
+    # NN scenes fuse too since round 3 (test_track_nn_scene_fused); only
+    # the kd-tree backend stays host-built and must refuse to fuse
+    with pytest.raises(ValueError, match="kd-tree"):
+        prt.PoseRefiner(m, K=K, width=W, height=H, scene="nn_kdtree",
                         use_pallas=False).track(d, pose1)
 
 
@@ -636,3 +638,59 @@ def test_refine_async_fence(setup):
     # wait() on an already-fenced result is a cheap no-op returning the pair
     rf, rr = pending[0].wait()
     np.testing.assert_array_equal(np.asarray(rf), np.asarray(fenced))
+
+
+def test_track_nn_scene_fused(setup):
+    """track() with an NN scene: the per-frame scene build runs ON DEVICE
+    inside the fused program (from_depth_device) and matches the unfused
+    set_scene_depth + refine path built from the same raw cloud."""
+    m, K = setup
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    scene_depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+
+    refiner = prt.PoseRefiner(m, K=K, width=W, height=H, max_points=4096,
+                              scene="nn_bruteforce", use_pallas=False,
+                              window=64, stride=1)
+    tracked, tres = refiner.track(scene_depth, pose1)
+
+    unfused = prt.PoseRefiner(m, K=K, width=W, height=H, max_points=4096,
+                              scene="nn_bruteforce", use_pallas=False,
+                              window=64, stride=1)
+    unfused.set_scene_depth(scene_depth)
+    refined, res = unfused.refine(pose1)
+
+    # identical scene point set (grid vs compacted cloud) -> same
+    # refinement up to reduction-order float noise (the tables are ordered
+    # differently: Morton grid vs kd-compacted cloud)
+    np.testing.assert_allclose(np.asarray(tracked), np.asarray(refined),
+                               atol=5e-3)
+    assert abs(float(tres.fitness) - float(res.fitness)) < 1e-3
+
+    # and it actually recovered the perturbation
+    R_err = np.asarray(tracked)[:3, :3] @ pose2[:3, :3].T
+    ang_err = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+    assert ang_err < 4.0
+
+
+def test_track_nn_kdtree_rejected(setup):
+    m, K = setup
+    r = prt.PoseRefiner(m, K=K, width=W, height=H, scene="nn_kdtree",
+                        use_pallas=False)
+    with pytest.raises(ValueError, match="kd-tree"):
+        r.track(np.zeros((H, W), np.int32), np.eye(4, dtype=np.float32))
+
+
+def test_track_nn_scene_stride(setup):
+    """scene_stride=2 (device analog of voxel downsampling) still tracks."""
+    m, K = setup
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    scene_depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+    refiner = prt.PoseRefiner(m, K=K, width=W, height=H, max_points=4096,
+                              scene="nn_bruteforce", scene_stride=2,
+                              use_pallas=False, window=64, stride=1)
+    tracked, tres = refiner.track(scene_depth, pose1)
+    R_err = np.asarray(tracked)[:3, :3] @ pose2[:3, :3].T
+    ang_err = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+    assert ang_err < 4.0, f"stride-2 NN tracking off by {ang_err} deg"

@@ -111,3 +111,94 @@ def test_nn_flash_gated_matches_plain_within_gate():
     np.testing.assert_array_equal(i0[inside], i1[inside])
     np.testing.assert_array_equal(d0[inside], d1[inside])
     assert (d1[~inside] >= gate * gate).all()
+
+
+def test_grid_morton_perm_is_permutation_and_local():
+    from pose_refine_tpu.scene.nn import _grid_morton_perm
+
+    h, w = 37, 53  # non-power-of-two dims
+    perm = _grid_morton_perm(h, w)
+    assert sorted(perm.tolist()) == list(range(h * w))
+    # locality: consecutive entries stay within a small pixel neighborhood
+    yy, xx = np.divmod(perm, w)
+    d = np.abs(np.diff(yy)) + np.abs(np.diff(xx))
+    assert np.median(d) <= 2
+
+
+def test_scene_from_depth_device_matches_host_build():
+    """The fully-on-device NN scene (grid table + far-filled invalid
+    pixels + static Morton order) must answer Scene.query identically to
+    the host build (compacted cloud + kd reorder) for every query: same
+    dst point, same normal, same validity."""
+    import jax.numpy as jnp
+
+    from pose_refine_tpu import geometry, mesh
+    from pose_refine_tpu.ops import rasterize as rz
+    from pose_refine_tpu.scene.nn import SceneNN
+
+    W, H = 160, 120
+    K = geometry.LINEMOD_K.copy()
+    K[:2] *= 0.25
+    proj = geometry.compute_proj(K, W, H)
+    m = mesh.make_bumpy_sphere(radius=50.0, subdivisions=3)
+    tris = jnp.asarray(m.tris[mesh.morton_order(m.tris)])
+    pose = np.asarray(
+        geometry.pose_from_Rt(np.eye(3, dtype=np.float32),
+                              np.array([0, 0, 300], np.float32))
+    )
+    depth = np.asarray(
+        rz.rasterize_scatter(tris, jnp.asarray(pose)[None], W, H, proj, window=32)
+    )[0]
+
+    host = SceneNN.from_depth(depth, K, backend="bruteforce")
+    dev = SceneNN.from_depth_device(depth, K)
+    assert dev.backend == "bruteforce"
+
+    rng = np.random.default_rng(3)
+    q_near = np.asarray(host.points) + rng.normal(
+        0, 0.004, host.points.shape).astype(np.float32)
+    q_far = q_near + np.float32([0.5, 0, 0])
+    for q in (jnp.asarray(q_near[:800]), jnp.asarray(q_far[:200])):
+        dh, nh, vh = map(np.asarray, host.query(q))
+        dd, nd, vd = map(np.asarray, dev.query(q))
+        np.testing.assert_array_equal(vh, vd)
+        np.testing.assert_allclose(dh[vh], dd[vd], atol=1e-7)
+        np.testing.assert_allclose(nh[vh], nd[vd], atol=1e-7)
+
+
+def test_scene_from_depth_device_stride():
+    """stride=2 subsamples the scene grid (the device analog of voxel
+    downsampling): queries at kept pixels still associate exactly."""
+    import jax.numpy as jnp
+
+    from pose_refine_tpu import geometry
+    from pose_refine_tpu.scene.nn import SceneNN
+
+    K = geometry.LINEMOD_K.copy()
+    K[:2] *= 0.25
+    rng = np.random.default_rng(5)
+    depth = (rng.uniform(250, 350, (64, 96)) *
+             (rng.random((64, 96)) > 0.3)).astype(np.int32)
+    full = SceneNN.from_depth_device(depth, K)
+    half = SceneNN.from_depth_device(depth, K, stride=2)
+    assert half.points.shape[0] * 4 == full.points.shape[0]
+    # a query exactly AT a kept scene point must hit it
+    kept = np.asarray(half.points)
+    kept = kept[kept[:, 0] < 1e5][:100]  # valid entries only
+    _, _, v = half.query(jnp.asarray(kept))
+    assert np.asarray(v).all()
+
+
+def test_numpy_flash_pack_matches_jnp():
+    """The host-side numpy pack/boxes (from_cloud's no-device-dispatch
+    path) must equal the jnp versions bit-for-bit."""
+    from pose_refine_tpu.scene.nn import _chunk_boxes_np, _pack_scene_np
+    from pose_refine_tpu.scene.nn_pallas import chunk_boxes, pack_scene
+
+    rng = np.random.default_rng(17)
+    for n in (1, 127, 128, 1000):
+        pts = rng.normal(size=(n, 3)).astype(np.float32) * 0.2
+        tn = _pack_scene_np(pts)
+        tj = np.asarray(pack_scene(pts))
+        np.testing.assert_array_equal(tn, tj)
+        np.testing.assert_array_equal(_chunk_boxes_np(tn), np.asarray(chunk_boxes(tj)))
