@@ -95,3 +95,29 @@ def test_sync_fused_probe():
     assert int(np.asarray(out[1]["b"]).sum()) == 5
     assert sync(()) == ()  # no-array tree is a no-op
     assert sync("x") == "x"
+
+
+def test_device_scene_roundtrip(tmp_path):
+    """Serialization of a device-built SceneNN (stubbed kd arrays, flash
+    tables) - serving pipelines may persist per-frame scenes."""
+    import jax.numpy as jnp
+
+    from pose_refine_tpu import geometry
+    from pose_refine_tpu.scene.nn import SceneNN
+
+    rng = np.random.default_rng(9)
+    depth = (rng.uniform(250, 350, (32, 48)) *
+             (rng.random((32, 48)) > 0.3)).astype(np.int32)
+    K = geometry.LINEMOD_K.copy()
+    K[:2] *= 0.08
+    scene = SceneNN.from_depth_device(depth, K)
+    p = str(tmp_path / "dev_scene.npz")
+    serialization.save(p, scene)
+    back = serialization.load(p)
+    assert back.backend == "bruteforce"
+    np.testing.assert_array_equal(np.asarray(back.points), np.asarray(scene.points))
+    q = jnp.asarray(np.asarray(scene.points)[:16])
+    d0, n0, v0 = map(np.asarray, scene.query(q))
+    d1, n1, v1 = map(np.asarray, back.query(q))
+    np.testing.assert_array_equal(d0, d1)
+    np.testing.assert_array_equal(v0, v1)
