@@ -78,6 +78,15 @@ def main():
     # fused max_iteration+1 program (measured equal to the old manual 64)
     CFG = dict(render_scale=2, max_points=2048, window=128, stride=2,
                decimate_mm=4.0)
+    # production criteria: max_iteration=24 (API default stays the
+    # reference's 30). The fused loop pays every iteration whether poses
+    # converged or not; 24 is the measured floor that keeps 100% per-case
+    # verdict agreement AND ADD identical to the 30-iter run (max per-pose
+    # drift 8 um; at 20 iters one case flips to FAIL) - +9% throughput
+    # for free (scripts/iter_budget_study.py).
+    from pose_refine_tpu.icp import ICPConvergenceCriteria
+
+    CRIT = ICPConvergenceCriteria(max_iteration=24)
 
     model = mesh.load_benchmark_model()
     tris = jnp.asarray(model.tris[mesh.morton_order(model.tris)])
@@ -130,7 +139,7 @@ def main():
     poses_dev = jax.device_put(jnp.asarray(poses))
 
     def run():
-        return refiner.refine(poses_dev)
+        return refiner.refine(poses_dev, criteria=CRIT)
 
     # compile + warm
     t0 = time.perf_counter()
@@ -196,7 +205,7 @@ def main():
     try:
         poses512 = jax.device_put(jnp.asarray(np.concatenate([poses, poses])))
         t512, _ = _time_median(
-            lambda: refiner.refine(poses512), lambda o: sync((o[0], o[1].fitness))
+            lambda: refiner.refine(poses512, criteria=CRIT), lambda o: sync((o[0], o[1].fitness))
         )
         _emit({"metric": "poses_per_sec_batch512", "value": round(512 / t512, 1),
                "unit": "poses/sec", "wall_ms": round(t512 * 1000, 1)})
@@ -210,7 +219,7 @@ def main():
     try:
         K_STREAM = 4
         t0 = time.perf_counter()
-        pending = [refiner.refine_async(poses_dev) for _ in range(K_STREAM)]
+        pending = [refiner.refine_async(poses_dev, criteria=CRIT) for _ in range(K_STREAM)]
         prt.fence(*pending)
         t_stream = (time.perf_counter() - t0) / K_STREAM
         _emit({"metric": "poses_per_sec_batch256_streaming", "value": round(N_POSES / t_stream, 1),
@@ -228,7 +237,7 @@ def main():
     )
     refiner_full.set_scene_depth(scene_depth)
     t_full, (r_full, _) = _time_median(
-        lambda: refiner_full.refine(poses_dev2), lambda o: sync((o[0],)), iters=5
+        lambda: refiner_full.refine(poses_dev2, criteria=CRIT), lambda o: sync((o[0],)), iters=5
     )
     rot_full = rotation_angle_deg(np.asarray(r_full), truth)
     _emit({"metric": "poses_per_sec_batch256_full_mesh", "value": round(N_POSES / t_full, 1),
@@ -253,7 +262,7 @@ def main():
             n_nn = N_POSES
             poses_nn = jax.device_put(jnp.asarray(poses[:n_nn]))
             t_nn, (r_nn, res_nn) = _time_median(
-                lambda: refiner_nn.refine(poses_nn), lambda o: sync((o[0],))
+                lambda: refiner_nn.refine(poses_nn, criteria=CRIT), lambda o: sync((o[0],))
             )
             rot_nn = rotation_angle_deg(np.asarray(r_nn), truth)
             _emit({"metric": tag, "value": round(n_nn / t_nn, 1),
