@@ -7,8 +7,11 @@ re-inits its scene every frame too, SURVEY 3.3 - our warm rebuild is
 refined. Static shapes mean frame 2+ hits the compile cache - the loop
 runs at steady-state latency.
 
-Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/demo_track.py
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/demo_track.py [nn]
+  'nn' tracks with the fused ON-DEVICE NN scene build
+  (SceneNN.from_depth_device + flash association) instead of projective.
 """
+import sys
 import time
 
 import jax
@@ -24,11 +27,14 @@ from pose_refine_tpu.utils.sync import sync
 
 N_HYP = 16      # tracking needs few hypotheses - the prior is good
 N_FRAMES = 30
+NN = len(sys.argv) > 1 and sys.argv[1] == "nn"
 model, tris, K, proj, truth0, _ = setup(4)
 
 refiner = prt.PoseRefiner(model, K=K, width=640, height=480, render_scale=2,
                           chunk_iters=64, window=128, stride=2,
-                          max_points=2048, decimate_mm=4.0)
+                          max_points=2048, decimate_mm=4.0,
+                          **(dict(scene="nn_bruteforce", scene_stride=3)
+                             if NN else {}))
 
 rng = np.random.default_rng(3)
 truth = truth0.copy()
