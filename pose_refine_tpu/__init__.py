@@ -8,7 +8,7 @@ as one jitted, vmap-batched program per pose batch.
 
 from pose_refine_tpu import geometry  # noqa: F401
 from pose_refine_tpu.mesh import Model, load_ply, make_icosphere, simplify_vertex_clustering  # noqa: F401
-from pose_refine_tpu.geometry import compute_proj, LINEMOD_K  # noqa: F401
+from pose_refine_tpu.geometry import compute_proj, sample_hypotheses, LINEMOD_K  # noqa: F401
 from pose_refine_tpu.ops import (  # noqa: F401
     render,
     rasterize_dense,

@@ -165,3 +165,28 @@ def pcd2dep(pcd, K, tl_x: int = 0, tl_y: int = 0):
     x = _trunc_int(pcd[..., 0] / pcd[..., 2] * K[0, 0] + K[0, 2] - tl_x + 0.5)
     y = _trunc_int(pcd[..., 1] / pcd[..., 2] * K[1, 1] + K[1, 2] - tl_y + 0.5)
     return jnp.stack([x, y, dep], axis=-1)
+
+
+def sample_hypotheses(center_pose, n: int, rot_deg: float = 10.0,
+                      trans_mm: float = 20.0, rng=None, include_center=False):
+    """Draw n pose hypotheses around a detection: uniform per-axis Euler
+    jitter of +-rot_deg degrees left-composed onto the rotation, uniform
+    +-trans_mm translation jitter (the reference acceptance recipe,
+    test.cpp:29-44, generalized). Host-side numpy; returns (n, 4, 4) f32.
+
+    include_center makes hypothesis 0 the unperturbed center pose (useful
+    in tracking loops where the prior is already good).
+    """
+    rng = np.random.default_rng(rng) if not isinstance(rng, np.random.Generator) else rng
+    center = np.asarray(center_pose, np.float32)
+    ang = rng.uniform(-1.0, 1.0, (n, 3)).astype(np.float32) * np.float32(
+        np.radians(rot_deg))
+    d_rot = np.array(euler_to_rotation(ang))  # writable copy (jax arrays are read-only views)
+    d_t = rng.uniform(-trans_mm, trans_mm, (n, 3)).astype(np.float32)
+    if include_center and n > 0:
+        d_rot[0] = np.eye(3, dtype=np.float32)
+        d_t[0] = 0.0
+    out = np.asarray(pose_from_Rt(
+        np.einsum("nij,jk->nik", d_rot, center[:3, :3]), center[:3, 3] + d_t
+    ))
+    return out.astype(np.float32)

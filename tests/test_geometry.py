@@ -84,3 +84,26 @@ def test_transform_points_batched(rng):
     for i in range(4):
         expected = pts[i] @ Tn[i, :3, :3].T + Tn[i, :3, 3]
         np.testing.assert_allclose(out[i], expected, atol=1e-5)
+
+
+def test_sample_hypotheses():
+    from pose_refine_tpu.geometry import (
+        pose_from_Rt, rotation_to_euler, sample_hypotheses,
+    )
+
+    center = np.asarray(pose_from_Rt(np.eye(3, dtype=np.float32),
+                                     np.array([10, 20, 300], np.float32)))
+    hyps = sample_hypotheses(center, 64, rot_deg=10, trans_mm=20, rng=0,
+                             include_center=True)
+    assert hyps.shape == (64, 4, 4) and hyps.dtype == np.float32
+    np.testing.assert_allclose(hyps[0], center, atol=1e-6)  # include_center
+    # translations inside the box, rotations inside the per-axis bound
+    dt = hyps[:, :3, 3] - center[:3, 3]
+    assert np.abs(dt).max() <= 20.0 + 1e-4
+    for h in hyps[1:8]:
+        eul = np.degrees(np.asarray(rotation_to_euler(h[:3, :3])))
+        assert np.abs(eul).max() <= 10.0 + 1e-3
+    # deterministic under a seed
+    np.testing.assert_array_equal(
+        hyps, sample_hypotheses(center, 64, rot_deg=10, trans_mm=20, rng=0,
+                                include_center=True))

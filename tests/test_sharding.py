@@ -73,9 +73,10 @@ def _class_workload(n_poses, seed=7):
     return m, K, scene_depth, np.stack(poses)
 
 
-def test_poserefiner_class_sharded_matches_single_device():
-    """The production class routed over the 8-device mesh == single-device,
-    including a NON-divisible batch (10 poses over 8 devices: padded with a
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_poserefiner_class_sharded_matches_single_device(ndev):
+    """The production class routed over a 2- and 8-device mesh ==
+    single-device, including a NON-divisible batch (10 poses: padded with a
     replicated first pose, padding dropped from the results)."""
     m, K, scene_depth, poses = _class_workload(10)
 
@@ -85,7 +86,7 @@ def test_poserefiner_class_sharded_matches_single_device():
         r.set_scene_depth(scene_depth)
         return r
 
-    sharded = build(devices=8)
+    sharded = build(devices=ndev)
     assert sharded._device_mesh() is not None
     refined_s, res_s = sharded.refine(poses)
     assert refined_s.shape == (10, 4, 4)
