@@ -166,6 +166,8 @@ def _sharded_fn(
             repl,                                        # K_full
             repl,                                        # max_dist
         )
+        if kind == "track_nn":
+            in_shardings = in_shardings + (repl,)        # scene Morton perm
 
     return jax.jit(
         functools.partial(

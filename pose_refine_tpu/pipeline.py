@@ -427,9 +427,12 @@ class PoseRefiner:
         y0 = min(y0, rh - h)
         return (x0, y0, w, h)
 
-    def _lift_targets(self, stats):
+    def _lift_targets(self, stats, window=None):
         """(window, max_points) the auto formulas pick for this frame (see
-        __init__); non-auto knobs keep their configured values."""
+        __init__); non-auto knobs keep their configured values. ``window``
+        overrides the window used for the max_points candidate bound (the
+        hysteresis path budgets against the APPLIED window, not the raw
+        target)."""
         ys, xs = stats
         s = self.render_scale
         if len(xs) == 0:
@@ -438,10 +441,11 @@ class PoseRefiner:
                 self.max_points or 4096,
             )
         extent = int(max(xs.max() - xs.min(), ys.max() - ys.min())) // s
-        window = self.window
-        if self._auto_window:
-            w = -(-int(extent * 1.15) // 32) * 32
-            window = int(np.clip(w, 32, min(self.render_w, self.render_h)))
+        if window is None:
+            window = self.window
+            if self._auto_window:
+                w = -(-int(extent * 1.15) // 32) * 32
+                window = int(np.clip(w, 32, min(self.render_w, self.render_h)))
         max_points = self.max_points
         if self._auto_points:
             if self.lift == "window":
@@ -458,21 +462,29 @@ class PoseRefiner:
         return window, max_points
 
     def _tune_lift(self, stats):
-        """Apply the auto lift sizes WITH hysteresis: window/max_points are
-        static jit arguments, so changing them recompiles the fused program -
-        an object extent oscillating across a 32-px (or 256-point)
-        quantization boundary must not recompile alternating tracking frames
-        (same rationale as _roi_still_fits). Growing is applied immediately
-        (an undersized window/budget drops boundary points); shrinking waits
-        until the target is more than one quantum below the current size."""
-        window, max_points = self._lift_targets(stats)
-        grow = window > self.window or max_points > self.max_points
-        shrink_past_quantum = (
-            window < self.window - 32 or max_points < self.max_points - 256
-        )
-        if self.window and self.max_points and not (grow or shrink_past_quantum):
+        """Apply the auto lift sizes with PER-KNOB hysteresis: window and
+        max_points are static jit arguments, so changing them recompiles
+        the fused program - an object extent oscillating across a 32-px
+        (or 256-point) quantization boundary must not recompile alternating
+        tracking frames (same rationale as _roi_still_fits). Each knob
+        grows immediately (an undersized window/budget drops boundary
+        points) but shrinks only past one quantum, INDEPENDENTLY - one
+        knob's growth must not drag the other through a sub-quantum shrink
+        (anti-phase oscillation would recompile every frame)."""
+        w_t, _ = self._lift_targets(stats)
+        if not self.window or w_t > self.window or w_t < self.window - 32:
+            new_w = w_t
+        else:
+            new_w = self.window
+        # budget against the window actually applied
+        _, mp_t = self._lift_targets(stats, window=new_w)
+        if not self.max_points or mp_t > self.max_points or mp_t < self.max_points - 256:
+            new_mp = mp_t
+        else:
+            new_mp = self.max_points
+        if (new_w, new_mp) == (self.window, self.max_points):
             return
-        self.window, self.max_points = window, max_points
+        self.window, self.max_points = new_w, new_mp
         logger.info(
             "auto lift: window=%d, max_points=%d", self.window, self.max_points
         )
@@ -677,12 +689,9 @@ class PoseRefiner:
                 self.max_points,
                 criteria,
                 self.use_pallas,
-                lift=self.lift,
-                window=self.window,
-                stride=self.stride,
-                roi=self.roi,
-                chunk_iters=self._resolve_chunk_iters(criteria),
-                robust_delta=self.robust_delta,
+                # single source of truth with the sharded path (the cached
+                # _sharded_fn partials over the same item tuple)
+                **dict(self._pipeline_items(criteria)),
             )
         self._warn_if_saturated(results)
         if squeeze:
@@ -749,7 +758,29 @@ class PoseRefiner:
         projective = self.scene_kind == "projective"
         items = self._pipeline_items(criteria)
         if not projective:
+            if self.scene_voxel_mm > 0.0 and self.scene_stride == 1:
+                # voxel downsampling is host work the fused device build
+                # cannot run - dropping it silently would hand the user a
+                # full-resolution scene (~4x the NN cost of the tuned
+                # config they asked for)
+                logger.warning(
+                    "track() builds the NN scene on device and cannot apply "
+                    "scene_voxel_mm=%g; set scene_stride (e.g. 2-3 "
+                    "approximates a 1-2 mm voxel at typical depths) or use "
+                    "set_scene_depth + refine for the voxel-filtered scene.",
+                    self.scene_voxel_mm,
+                )
             items = items + (("scene_stride", self.scene_stride),)
+        if not projective:
+            # the scene grid's Morton permutation rides along as an
+            # ARGUMENT: a trace-time constant this size (up to ~1.2 MB at
+            # stride 1) would be re-shipped on every call of the tracking
+            # hot loop (CLAUDE.md)
+            from pose_refine_tpu.scene.nn import _grid_morton_perm
+
+            fh, fw = frame_depth.shape
+            s = self.scene_stride
+            perm = jnp.asarray(_grid_morton_perm(-(-fh // s), -(-fw // s)))
         mesh = self._device_mesh()
         if mesh is not None:
             # multi-chip tracking: frame depth replicates (the in-program
@@ -763,16 +794,19 @@ class PoseRefiner:
                 items, tris_per_pose=tris.ndim == 4,
             )
             poses_p, tris_p, n = _sh.pad_to_devices(mesh.size, init_poses, tris)
-            refined, results = fn(
+            args = (
                 tris_p, _sh.shard_pose_batch(mesh, poses_p),
                 jnp.asarray(frame_depth), jnp.asarray(self.proj),
                 jnp.asarray(self.K_render), jnp.asarray(self.K),
                 jnp.float32(self.max_dist_diff),
             )
+            if not projective:
+                args = args + (perm,)
+            refined, results = fn(*args)
             refined, results = _sh.unpad_results(n, refined, results)
         else:
             fn = track_poses_jit if projective else track_poses_nn_jit
-            refined, results = fn(
+            args = (
                 tris,
                 init_poses,
                 jnp.asarray(frame_depth),
@@ -780,6 +814,11 @@ class PoseRefiner:
                 jnp.asarray(self.K_render),
                 jnp.asarray(self.K),
                 jnp.float32(self.max_dist_diff),
+            )
+            if not projective:
+                args = args + (perm,)
+            refined, results = fn(
+                *args,
                 self.render_w,
                 self.render_h,
                 self.max_points,
@@ -842,7 +881,7 @@ def track_poses_jit(
     ),
 )
 def track_poses_nn_jit(
-    tris, init_poses, frame_depth, proj, K_render, K_full, max_dist,
+    tris, init_poses, frame_depth, proj, K_render, K_full, max_dist, perm,
     width, height, max_points, criteria, use_pallas,
     lift="window", window=256, stride=2, roi=(0, 0, 0, 0), chunk_iters=8,
     robust_delta=0.0, scene_stride=1,
@@ -855,7 +894,7 @@ def track_poses_nn_jit(
     traces into the same program as render->lift->ICP. scene_stride
     subsamples the scene grid (the device analog of voxel downsampling)."""
     scene = SceneNN.from_depth_device(
-        frame_depth, K_full, max_dist, stride=scene_stride
+        frame_depth, K_full, max_dist, stride=scene_stride, perm=perm
     )
     return refine_poses_jit(
         tris, init_poses, scene, proj, K_render,

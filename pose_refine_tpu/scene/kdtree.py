@@ -62,6 +62,26 @@ class KDTree:
         return int((self.bounds[leaf, 1] - self.bounds[leaf, 0]).max())
 
 
+def ensure_leaf_bboxes(points, child, bounds, bbox):
+    """Fill missing (all-zero) LEAF bbox rows from the reordered points.
+
+    Trees serialized before round 3 carry bboxes only for interior nodes;
+    the far-child pruning the traversal now defaults to reads the descend
+    TARGET's bbox, and a zero leaf box would prune correct descents -
+    silently wrong neighbors. Returns bbox (possibly updated, numpy)."""
+    bbox = np.array(bbox, np.float32, copy=True)
+    pts = np.asarray(points)
+    leaf = np.asarray(child)[:, 0] < 0
+    stale = leaf & (np.abs(bbox).sum(axis=1) == 0.0)
+    for i in np.nonzero(stale)[0]:
+        left, right = np.asarray(bounds)[i]
+        if right > left:
+            seg = pts[left:right]
+            lo, hi = seg.min(axis=0), seg.max(axis=0)
+            bbox[i] = (lo[0], hi[0], lo[1], hi[1], lo[2], hi[2])
+    return bbox
+
+
 def build_kdtree(points, normals, leaf_size: int = 10, backend: str = "auto") -> KDTree:
     """Build a kd-tree. backend: 'auto' (native C++ when compiled, else
     numpy), 'native', or 'numpy'."""

@@ -137,7 +137,7 @@ class SceneNN:
     @classmethod
     def from_depth_device(
         cls, depth, K, max_dist_diff=0.1, stride: int = 1,
-        tl_x: int = 0, tl_y: int = 0,
+        tl_x: int = 0, tl_y: int = 0, perm=None,
     ) -> "SceneNN":
         """Flash-backend NN scene built ENTIRELY ON DEVICE - jit-traceable,
         so a tracking loop fuses the per-frame scene build into the
@@ -170,7 +170,12 @@ class SceneNN:
             nrm = nrm[::stride, ::stride]
             mask = mask[::stride, ::stride]
         h, w = mask.shape
-        perm = jnp.asarray(_grid_morton_perm(h, w))  # static permutation
+        if perm is None:
+            # standalone use: bake the static permutation into the trace.
+            # Hot loops (track_poses_nn_jit) pass it as an ARGUMENT instead -
+            # trace-time constants this size are re-shipped per call on
+            # tunneled runtimes (CLAUDE.md).
+            perm = jnp.asarray(_grid_morton_perm(h, w))
         p = pts.reshape(-1, 3)[perm]
         n = nrm.reshape(-1, 3)[perm]
         m = mask.reshape(-1)[perm]

@@ -62,4 +62,15 @@ def load(path: str):
                 kwargs[name] = arr
             else:
                 kwargs[name] = jnp.asarray(arr)
+    if meta["kind"] in ("KDTree", "SceneNN") and "bbox" in kwargs:
+        # artifacts saved before round 3 carry no LEAF bboxes; the kd
+        # traversal's far-child pruning needs them (zero boxes would
+        # silently prune correct descents) - backfill from the points
+        from pose_refine_tpu.scene.kdtree import ensure_leaf_bboxes
+
+        fixed = ensure_leaf_bboxes(
+            np.asarray(kwargs["points"]), np.asarray(kwargs["child"]),
+            np.asarray(kwargs["bounds"]), np.asarray(kwargs["bbox"]),
+        )
+        kwargs["bbox"] = fixed if meta["kind"] == "KDTree" else jnp.asarray(fixed)
     return cls(**kwargs)

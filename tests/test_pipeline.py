@@ -625,11 +625,18 @@ def test_refine_async_fence(setup):
                               use_pallas=False, window=64, stride=1)
     refiner.set_scene_depth(np.asarray(r.render_depth(pose2))[0].astype(np.int32))
 
+    # async path must not consume the once-per-frame saturation check:
+    # the FIRST calls are async, and the flag set by set_scene_depth must
+    # survive them for the next synchronous refine to perform the check
+    assert refiner._check_saturation is True
+    warm = refiner.refine_async(pose1)
+    warm.wait()
+    assert refiner._check_saturation is True
+
     fenced, fres = refiner.refine(pose1)
+    assert refiner._check_saturation is False  # sync refine consumed it
     pending = [refiner.refine_async(pose1) for _ in range(3)]
     assert all(isinstance(p, prt.PendingResult) for p in pending)
-    # async path must not consume the once-per-frame saturation check
-    assert refiner._check_saturation in (True, False)
     outs = prt.fence(*pending)
     assert len(outs) == 3
     for refined, res in outs:

@@ -121,3 +121,33 @@ def test_device_scene_roundtrip(tmp_path):
     d1, n1, v1 = map(np.asarray, back.query(q))
     np.testing.assert_array_equal(d0, d1)
     np.testing.assert_array_equal(v0, v1)
+
+
+def test_load_backfills_missing_leaf_bboxes(tmp_path):
+    """Artifacts saved before round 3 carry no leaf bboxes; far-child
+    pruning would silently return wrong neighbors on them. load() must
+    backfill leaf boxes from the points."""
+    import jax
+    import jax.numpy as jnp
+
+    from pose_refine_tpu.scene.nn import SceneNN, _nn_kdtree
+
+    rng = np.random.default_rng(4)
+    pts = rng.uniform(0, 0.3, (2000, 3)).astype(np.float32)
+    nrm = np.tile(np.float32([[0, 0, 1]]), (2000, 1))
+    scene = SceneNN.from_cloud(pts, nrm)
+    p = str(tmp_path / "scene.npz")
+    serialization.save(p, scene)
+
+    # simulate a pre-round-3 artifact: zero out the LEAF bbox rows
+    with np.load(p, allow_pickle=False) as z:
+        data = {k: z[k] for k in z.files}
+    leaf = data["child"][:, 0] < 0
+    data["bbox"][leaf] = 0.0
+    np.savez_compressed(p, **data)
+
+    back = serialization.load(p)
+    q = jnp.asarray(pts[:256] + rng.normal(0, 0.01, (256, 3)).astype(np.float32))
+    i0, d0 = jax.jit(lambda s: _nn_kdtree(s, scene))(q)
+    i1, d1 = jax.jit(lambda s: _nn_kdtree(s, back))(q)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
