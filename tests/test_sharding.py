@@ -226,3 +226,28 @@ def test_sharded_per_pose_tris():
     )
     np.testing.assert_allclose(np.asarray(refined_sh), np.asarray(refined_1), atol=1e-4)
     np.testing.assert_allclose(np.asarray(res_sh.fitness), np.asarray(res_1.fitness), atol=1e-5)
+
+
+def test_sharded_schedule_matches_single_device():
+    """Coarse-to-fine schedules re-enter refine() per level; each level must
+    route through the mesh and still match single-device exactly."""
+    m, K, scene_depth, poses = _class_workload(6)
+
+    def build(devices):
+        r = prt.PoseRefiner(m, K=K, width=W, height=H, max_points=4096,
+                            window=64, devices=devices)
+        r.set_scene_depth(scene_depth)
+        return r
+
+    sched = [(0.3, 8), (0.1, 12)]
+    refined_s, res_s = build(8).refine(poses, schedule=sched)
+    refined_1, res_1 = build(1).refine(poses, schedule=sched)
+    # two chained levels amplify the usual GSPMD float-reassociation noise
+    # through the convergence latch (see the track test's comment) - the
+    # contract is agreement far below raster quantization
+    np.testing.assert_allclose(
+        np.asarray(refined_s), np.asarray(refined_1), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_s.fitness), np.asarray(res_1.fitness), atol=0.01
+    )
