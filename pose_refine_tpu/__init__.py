@@ -34,4 +34,4 @@ from pose_refine_tpu.pipeline import (  # noqa: F401
     refine_poses_jit,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
