@@ -91,16 +91,14 @@ def _huber_sqrt_w(b, delta: float):
     return jnp.sqrt(jnp.minimum(1.0, delta / jnp.maximum(ab, 1e-12)))
 
 
-def _normal_equations(cloud, valid, query_fn, robust_delta: float = 0.0):
-    """One fused association + reduction pass.
+def _normal_equations_from_assoc(cloud, valid, dst, nrm, q_valid,
+                                 robust_delta: float = 0.0):
+    """Reduction half of _normal_equations, from a given association.
 
-    Equivalent of the reference's single transform_reduce over thrust__pcd2Ab
-    (icp.h:128-209, icp.cu:170-172), but shaped for the MXU: build the masked
-    (P, 6) Jacobian rows and reduce AtA/Atb with a matmul instead of packing
-    29-float tuples. robust_delta > 0 (meters) Huber-weights the rows; the
-    fitness/rmse scores stay unweighted (reference semantics).
-    """
-    dst, nrm, q_valid = query_fn(cloud)
+    Split out so correspondence-reuse iterations (reassociate_every > 1)
+    can rebuild the normal equations from CACHED (dst, nrm, valid) as the
+    cloud moves - the association gather is the expensive part of an ICP
+    iteration (row-count-bound, PERF_NOTES); this half is matmul-cheap."""
     v = (q_valid & valid).astype(cloud.dtype)
     diff = dst - cloud
     b = jnp.sum(diff * nrm, axis=-1)
@@ -112,6 +110,20 @@ def _normal_equations(cloud, valid, query_fn, robust_delta: float = 0.0):
     count = jnp.sum(v)
     mse_sum = jnp.sum(jnp.sum(diff * diff, axis=-1) * v)
     return AtA, Atb, count, mse_sum
+
+
+def _normal_equations(cloud, valid, query_fn, robust_delta: float = 0.0):
+    """One fused association + reduction pass.
+
+    Equivalent of the reference's single transform_reduce over thrust__pcd2Ab
+    (icp.h:128-209, icp.cu:170-172), but shaped for the MXU: build the masked
+    (P, 6) Jacobian rows and reduce AtA/Atb with a matmul instead of packing
+    29-float tuples. robust_delta > 0 (meters) Huber-weights the rows; the
+    fitness/rmse scores stay unweighted (reference semantics).
+    """
+    dst, nrm, q_valid = query_fn(cloud)
+    return _normal_equations_from_assoc(cloud, valid, dst, nrm, q_valid,
+                                        robust_delta)
 
 
 def _normal_equations_packed(cloud, valid, query_fn, robust_delta: float = 0.0):
@@ -152,6 +164,7 @@ def icp_point_to_plane(
     reduction: str = "matmul",
     chunk_iters: int = 8,
     robust_delta: float = 0.0,
+    reassociate_every: int = 1,
 ):
     """Refine one cloud against a scene.
 
@@ -174,6 +187,16 @@ def icp_point_to_plane(
                  program segments (each while iteration costs a host
                  round-trip on tunneled runtimes). Set >= max_iteration + 1
                  for one pure fori program.
+      reassociate_every: correspondence reuse (beyond parity; 1 = the
+                 reference's re-associate-every-iteration semantics). k > 1
+                 queries the scene every k-th iteration and rebuilds the
+                 normal equations from the CACHED association as the cloud
+                 moves - the association gather is the row-count-bound cost
+                 of an iteration (PERF_NOTES), the reduction is matmul-cheap.
+                 Choose k dividing max_iteration so the final scoring pass
+                 re-associates fresh. Requires reduction='matmul' and a
+                 fused loop (chunk_iters >= max_iteration + 1). Quality
+                 gates for the production config: scripts/reassoc_study.py.
 
     Returns:
       (RegistrationResult, transformed cloud (P, 3)).
@@ -193,9 +216,7 @@ def icp_point_to_plane(
     )
     reduce_fn = functools.partial(base_fn, robust_delta=float(robust_delta))
 
-    def body(it, s: _State) -> _State:
-        AtA, Atb, count, mse_sum = reduce_fn(s.cloud, valid, query_fn)
-
+    def step(it, s: _State, AtA, Atb, count, mse_sum) -> _State:
         empty = count == 0
         new_fit = jnp.where(empty, s.fitness, count / jnp.maximum(n_total, 1.0))
         new_rmse = jnp.where(
@@ -227,6 +248,9 @@ def icp_point_to_plane(
             done=done,
         )
 
+    def body(it, s: _State) -> _State:
+        return step(it, s, *reduce_fn(s.cloud, valid, query_fn))
+
     init = _State(
         cloud=cloud,
         T=jnp.eye(4, dtype=jnp.float32),
@@ -237,7 +261,34 @@ def icp_point_to_plane(
     )
     total = max_iter + 1
     chunk = max(1, min(int(chunk_iters), total))
-    if chunk >= total:
+    k = int(reassociate_every)
+    if k > 1:
+        if reduction != "matmul":
+            raise ValueError("reassociate_every > 1 requires reduction='matmul'")
+        if chunk < total:
+            raise ValueError(
+                "reassociate_every > 1 requires a fused loop "
+                "(chunk_iters >= max_iteration + 1)"
+            )
+
+        # outer step: ONE association gather; inner steps rebuild the
+        # normal equations from the cached correspondences at the moved
+        # cloud (overrun past `total` in the last block is frozen by the
+        # done latch, like the fused path)
+        def outer(ot, s: _State) -> _State:
+            dst, nrm, q_valid = query_fn(s.cloud)
+
+            def inner(j, st: _State) -> _State:
+                ne = _normal_equations_from_assoc(
+                    st.cloud, valid, dst, nrm, q_valid,
+                    robust_delta=float(robust_delta),
+                )
+                return step(ot * k + j, st, *ne)
+
+            return jax.lax.fori_loop(0, k, inner, s)
+
+        final = jax.lax.fori_loop(0, -(-total // k), outer, init)
+    elif chunk >= total:
         final = jax.lax.fori_loop(0, total, body, init)
     else:
         # done latches inside body, so overrunning past `total` inside the

@@ -47,6 +47,7 @@ def _scene_with_gate(scene, max_dist: float):
     static_argnames=(
         "width", "height", "max_points", "criteria", "use_pallas",
         "lift", "window", "stride", "roi", "chunk_iters", "robust_delta",
+        "reassociate_every",
     ),
 )
 def refine_poses_jit(
@@ -66,6 +67,7 @@ def refine_poses_jit(
     roi=(0, 0, 0, 0),
     chunk_iters: int = 8,
     robust_delta: float = 0.0,
+    reassociate_every: int = 1,
 ):
     """The fused program: render N poses, lift to clouds, run batched ICP.
 
@@ -123,7 +125,7 @@ def refine_poses_jit(
     def one(cloud, valid):
         return icp.icp_point_to_plane(
             cloud, valid, scene.query, criteria, chunk_iters=chunk_iters,
-            robust_delta=robust_delta,
+            robust_delta=robust_delta, reassociate_every=reassociate_every,
         )
 
     results, _clouds = jax.vmap(one)(clouds, valids)
@@ -203,6 +205,7 @@ class PoseRefiner:
         scene_voxel_mm: float = 0.0,
         scene_stride: int = 1,
         robust_delta: float = 0.0,
+        reassociate_every: int = 1,
         devices=None,
     ):
         self.model = Model.load(model) if isinstance(model, str) else model
@@ -313,6 +316,12 @@ class PoseRefiner:
         # padding is dropped from the results - any batch size works.
         self._devices = devices
         self._mesh_cache = None  # resolved lazily; False = resolved to None
+        # reassociate_every: correspondence reuse (k > 1 re-queries the
+        # scene every k-th ICP iteration, rebuilding the normal equations
+        # from cached correspondences in between - the gather is the
+        # row-count-bound iteration cost). 1 = reference semantics;
+        # quality-gate any k > 1 (scripts/reassoc_study.py).
+        self.reassociate_every = int(reassociate_every)
         # one deferred saturation check per frame (see _warn_if_saturated)
         self._check_saturation = False
         # ICP early-exit granularity; >= max_iteration+1 means one fused
@@ -359,6 +368,7 @@ class PoseRefiner:
         return (
             ("chunk_iters", self._resolve_chunk_iters(criteria)),
             ("lift", self.lift),
+            ("reassociate_every", self.reassociate_every),
             ("robust_delta", self.robust_delta),
             ("roi", self.roi),
             ("stride", self.stride),
@@ -391,6 +401,9 @@ class PoseRefiner:
         reference's extra fitness-only iteration, icp.cpp:137) on
         device backends, chunks of 8 on CPU where dispatch is free and
         early exit pays."""
+        if self.reassociate_every > 1:
+            # correspondence reuse needs the fused nested loop
+            return int(criteria.max_iteration) + 1
         if self.chunk_iters != "auto":
             return self.chunk_iters
         if jax.default_backend() == "cpu":
@@ -849,13 +862,14 @@ class PoseRefiner:
     static_argnames=(
         "width", "height", "max_points", "criteria", "use_pallas",
         "lift", "window", "stride", "roi", "chunk_iters", "robust_delta",
+        "reassociate_every",
     ),
 )
 def track_poses_jit(
     tris, init_poses, frame_depth, proj, K_render, K_full, max_dist,
     width, height, max_points, criteria, use_pallas,
     lift="window", window=256, stride=2, roi=(0, 0, 0, 0), chunk_iters=8,
-    robust_delta=0.0,
+    robust_delta=0.0, reassociate_every=1,
 ):
     """Per-frame scene build FUSED with refinement: one program per frame.
 
@@ -869,6 +883,7 @@ def track_poses_jit(
         width=width, height=height, max_points=max_points, criteria=criteria,
         use_pallas=use_pallas, lift=lift, window=window, stride=stride,
         roi=roi, chunk_iters=chunk_iters, robust_delta=robust_delta,
+        reassociate_every=reassociate_every,
     )
 
 
@@ -877,14 +892,14 @@ def track_poses_jit(
     static_argnames=(
         "width", "height", "max_points", "criteria", "use_pallas",
         "lift", "window", "stride", "roi", "chunk_iters", "robust_delta",
-        "scene_stride",
+        "reassociate_every", "scene_stride",
     ),
 )
 def track_poses_nn_jit(
     tris, init_poses, frame_depth, proj, K_render, K_full, max_dist, perm,
     width, height, max_points, criteria, use_pallas,
     lift="window", window=256, stride=2, roi=(0, 0, 0, 0), chunk_iters=8,
-    robust_delta=0.0, scene_stride=1,
+    robust_delta=0.0, reassociate_every=1, scene_stride=1,
 ):
     """Per-frame NN-scene build FUSED with refinement - the NN twin of
     track_poses_jit. The reference rebuilds Scene_nn on the HOST every
@@ -901,6 +916,7 @@ def track_poses_nn_jit(
         width=width, height=height, max_points=max_points, criteria=criteria,
         use_pallas=use_pallas, lift=lift, window=window, stride=stride,
         roi=roi, chunk_iters=chunk_iters, robust_delta=robust_delta,
+        reassociate_every=reassociate_every,
     )
 
 

@@ -382,3 +382,43 @@ def test_robust_delta_downweights_outliers():
         errs[delta] = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
     # robust must cut the rotation error at least in half
     assert errs[0.01] < 0.5 * errs[0.0], errs
+
+
+def test_reassociate_every_recovers_and_validates():
+    """Correspondence reuse (k=2): the gather runs every other iteration,
+    the normal equations rebuild from cached correspondences in between.
+    Still recovers the golden perturbation; invalid combinations raise."""
+    import pose_refine_tpu as prt
+    from pose_refine_tpu import geometry, mesh
+
+    W, H = 160, 120
+    K = geometry.LINEMOD_K.copy()
+    K[:2] *= 0.25
+    m = mesh.make_bumpy_sphere(radius=50.0, subdivisions=3)
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    scene_depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+
+    ref = prt.PoseRefiner(m, K=K, width=W, height=H, max_points=4096,
+                          window=64, stride=1, use_pallas=False,
+                          reassociate_every=2)
+    ref.set_scene_depth(scene_depth)
+    refined, res = ref.refine(pose1)
+    R_err = np.asarray(refined)[:3, :3] @ pose2[:3, :3].T
+    ang = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+    assert ang < 4.0, f"reuse-2 refinement off by {ang} deg"
+    assert float(res.fitness) > 0.7
+
+    # chunked loops and the packed reduction cannot reuse correspondences
+    import pytest
+
+    scene = prt.SceneProjective.from_depth(scene_depth, K)
+    cloud = np.zeros((64, 3), np.float32)
+    vmask = np.ones(64, bool)
+    with pytest.raises(ValueError, match="fused"):
+        icp_mod.icp_point_to_plane(cloud, vmask, scene.query,
+                                   chunk_iters=4, reassociate_every=2)
+    with pytest.raises(ValueError, match="matmul"):
+        icp_mod.icp_point_to_plane(cloud, vmask, scene.query,
+                                   reduction="packed",
+                                   chunk_iters=64, reassociate_every=2)
