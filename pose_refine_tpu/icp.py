@@ -195,8 +195,13 @@ def icp_point_to_plane(
                  of an iteration (PERF_NOTES), the reduction is matmul-cheap.
                  Choose k dividing max_iteration so the final scoring pass
                  re-associates fresh. Requires reduction='matmul' and a
-                 fused loop (chunk_iters >= max_iteration + 1). Quality
-                 gates for the production config: scripts/reassoc_study.py.
+                 fused loop (chunk_iters >= max_iteration + 1).
+                 EXPERIMENTAL - CPU-validated; on the current axon TPU
+                 toolchain the k > 1 nested-loop program HUNG the remote
+                 XLA compile (wedging the chip for >1 h; twice), so its
+                 TPU quality study (scripts/reassoc_study.py) is blocked
+                 and k > 1 must not be adopted for TPU serving until the
+                 toolchain moves.
 
     Returns:
       (RegistrationResult, transformed cloud (P, 3)).
