@@ -167,12 +167,37 @@ def pcd2dep(pcd, K, tl_x: int = 0, tl_y: int = 0):
     return jnp.stack([x, y, dep], axis=-1)
 
 
+def _euler_to_rotation_np(theta):
+    """Numpy twin of euler_to_rotation (Rz @ Ry @ Rx, helper.h:187-209).
+
+    sample_hypotheses must stay pure host work: the jnp version would
+    dispatch ~20 eager device ops per call (~28-30 ms EACH on tunneled
+    runtimes, CLAUDE.md) from inside serving loops."""
+    t = np.asarray(theta, np.float32)
+    x, y, z = t[..., 0], t[..., 1], t[..., 2]
+    cx, sx = np.cos(x), np.sin(x)
+    cy, sy = np.cos(y), np.sin(y)
+    cz, sz = np.cos(z), np.sin(z)
+    R = np.empty(t.shape[:-1] + (3, 3), np.float32)
+    R[..., 0, 0] = cz * cy
+    R[..., 0, 1] = cz * sy * sx - sz * cx
+    R[..., 0, 2] = cz * sy * cx + sz * sx
+    R[..., 1, 0] = sz * cy
+    R[..., 1, 1] = sz * sy * sx + cz * cx
+    R[..., 1, 2] = sz * sy * cx - cz * sx
+    R[..., 2, 0] = -sy
+    R[..., 2, 1] = cy * sx
+    R[..., 2, 2] = cy * cx
+    return R
+
+
 def sample_hypotheses(center_pose, n: int, rot_deg: float = 10.0,
                       trans_mm: float = 20.0, rng=None, include_center=False):
     """Draw n pose hypotheses around a detection: uniform per-axis Euler
     jitter of +-rot_deg degrees left-composed onto the rotation, uniform
     +-trans_mm translation jitter (the reference acceptance recipe,
-    test.cpp:29-44, generalized). Host-side numpy; returns (n, 4, 4) f32.
+    test.cpp:29-44, generalized). Pure host-side numpy - zero device
+    dispatches, safe inside serving/tracking loops. Returns (n, 4, 4) f32.
 
     include_center makes hypothesis 0 the unperturbed center pose (useful
     in tracking loops where the prior is already good).
@@ -181,12 +206,13 @@ def sample_hypotheses(center_pose, n: int, rot_deg: float = 10.0,
     center = np.asarray(center_pose, np.float32)
     ang = rng.uniform(-1.0, 1.0, (n, 3)).astype(np.float32) * np.float32(
         np.radians(rot_deg))
-    d_rot = np.array(euler_to_rotation(ang))  # writable copy (jax arrays are read-only views)
+    d_rot = _euler_to_rotation_np(ang)
     d_t = rng.uniform(-trans_mm, trans_mm, (n, 3)).astype(np.float32)
     if include_center and n > 0:
         d_rot[0] = np.eye(3, dtype=np.float32)
         d_t[0] = 0.0
-    out = np.asarray(pose_from_Rt(
-        np.einsum("nij,jk->nik", d_rot, center[:3, :3]), center[:3, 3] + d_t
-    ))
-    return out.astype(np.float32)
+    out = np.zeros((n, 4, 4), np.float32)
+    out[:, :3, :3] = np.einsum("nij,jk->nik", d_rot, center[:3, :3])
+    out[:, :3, 3] = center[:3, 3] + d_t
+    out[:, 3, 3] = 1.0
+    return out

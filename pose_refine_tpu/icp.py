@@ -275,6 +275,15 @@ def icp_point_to_plane(
                 "reassociate_every > 1 requires a fused loop "
                 "(chunk_iters >= max_iteration + 1)"
             )
+        if max_iter % k != 0:
+            # the scoring-only pass at it == max_iteration must start an
+            # outer block so its fitness/rmse come from a FRESH association
+            # (reference semantics score the current correspondences,
+            # icp.cpp:137) - a stale score would silently diverge
+            raise ValueError(
+                f"reassociate_every={k} must divide max_iteration="
+                f"{max_iter} so the final scoring pass re-associates fresh"
+            )
 
         # outer step: ONE association gather; inner steps rebuild the
         # normal equations from the cached correspondences at the moved

@@ -333,6 +333,19 @@ class PoseRefiner:
         # batches exit early. Explicit ints are honored unchanged.
         self.chunk_iters = chunk_iters if chunk_iters == "auto" else int(chunk_iters)
 
+    def _scene_perm(self, frame_shape):
+        """Device-resident Morton permutation of the (strided) scene grid,
+        cached per shape - the NN tracking loop passes it every frame."""
+        fh, fw = frame_shape
+        s = self.scene_stride
+        key = (-(-fh // s), -(-fw // s))
+        cached = getattr(self, "_scene_perm_cache", None)
+        if cached is None or cached[0] != key:
+            from pose_refine_tpu.scene.nn import _grid_morton_perm
+
+            self._scene_perm_cache = (key, jnp.asarray(_grid_morton_perm(*key)))
+        return self._scene_perm_cache[1]
+
     def _device_mesh(self):
         """Resolve devices= (see __init__) to a Mesh, cached. None = run
         single-device."""
@@ -784,16 +797,12 @@ class PoseRefiner:
                     self.scene_voxel_mm,
                 )
             items = items + (("scene_stride", self.scene_stride),)
-        if not projective:
             # the scene grid's Morton permutation rides along as an
-            # ARGUMENT: a trace-time constant this size (up to ~1.2 MB at
-            # stride 1) would be re-shipped on every call of the tracking
-            # hot loop (CLAUDE.md)
-            from pose_refine_tpu.scene.nn import _grid_morton_perm
-
-            fh, fw = frame_depth.shape
-            s = self.scene_stride
-            perm = jnp.asarray(_grid_morton_perm(-(-fh // s), -(-fw // s)))
+            # ARGUMENT (a trace-time constant this size - up to ~1.2 MB at
+            # stride 1 - would be re-shipped per call, CLAUDE.md), and the
+            # DEVICE-RESIDENT array is cached per grid shape so repeated
+            # frames do not re-upload it either
+            perm = self._scene_perm(frame_depth.shape)
         mesh = self._device_mesh()
         if mesh is not None:
             # multi-chip tracking: frame depth replicates (the in-program

@@ -11,7 +11,12 @@ Pick k dividing max_iteration (24) so the final scoring pass re-associates
 fresh. Gates as always: fixed-seed per-case verdicts vs k=1, ADD, per-pose
 drift vs the k=1 twin.
 
-Run: python scripts/reassoc_study.py   (TPU)
+Run: python scripts/reassoc_study.py
+BLOCKED ON TPU: the k > 1 nested-loop program HUNG the axon remote XLA
+compile twice (chip wedged ~75 min each; see PERF_NOTES "Correspondence
+reuse"). Until the toolchain moves, k > 1 is guarded off non-CPU backends
+below - run the quality sweep on CPU (slow but safe), or re-enable the
+guard deliberately on a future toolchain.
 """
 import sys
 
@@ -34,9 +39,15 @@ scene_depth = scene_render(tris, truth, proj)
 poses_j = jax.device_put(jnp.asarray(poses))
 CRIT = ICPConvergenceCriteria(max_iteration=24)
 
+ks = (1, 2, 3, 4)
+if jax.default_backend() != "cpu":
+    print("non-CPU backend: skipping k>1 (its compile wedges the axon "
+          "toolchain - see module docstring)", flush=True)
+    ks = (1,)
+
 base_ok = None
 base_T = None
-for k in (1, 2, 3, 4):
+for k in ks:
     refiner = prt.PoseRefiner(model, K=K, width=640, height=480,
                               render_scale=2, window=128, stride=2,
                               max_points=2048, decimate_mm=4.0,
