@@ -165,6 +165,8 @@ def icp_point_to_plane(
     chunk_iters: int = 8,
     robust_delta: float = 0.0,
     reassociate_every: int = 1,
+    coarse_iters: int = 0,
+    coarse_stride: int = 2,
 ):
     """Refine one cloud against a scene.
 
@@ -202,6 +204,21 @@ def icp_point_to_plane(
                  TPU quality study (scripts/reassoc_study.py) is blocked
                  and k > 1 must not be adopted for TPU serving until the
                  toolchain moves.
+      coarse_iters: > 0 enables a coarse-to-fine point schedule (beyond
+                 parity): the first `coarse_iters` iterations run pure
+                 Gauss-Newton updates on a 1-in-`coarse_stride` strided
+                 subsample of the cloud, then the standard scored loop
+                 finishes on the full cloud - all inside ONE fused program
+                 (two sequential fori loops; no extra dispatch, unlike a
+                 two-pass cascade). An ICP iteration's cost is gather-row-
+                 bound (PERF_NOTES), so each coarse iteration costs
+                 ~1/coarse_stride of a fine one. The coarse phase carries
+                 no convergence latch (the latch saves no work in a fused
+                 fori anyway - it only freezes state); reported
+                 fitness/rmse always come from full-cloud iterations.
+                 Total iteration count is unchanged: coarse_iters coarse +
+                 (max_iteration - coarse_iters) fine + the scoring pass.
+                 Requires a fused loop and reassociate_every == 1.
 
     Returns:
       (RegistrationResult, transformed cloud (P, 3)).
@@ -267,6 +284,56 @@ def icp_point_to_plane(
     total = max_iter + 1
     chunk = max(1, min(int(chunk_iters), total))
     k = int(reassociate_every)
+    c = int(coarse_iters)
+    if c > 0:
+        if k > 1:
+            raise ValueError(
+                "coarse_iters and reassociate_every > 1 cannot combine"
+            )
+        if chunk < total:
+            raise ValueError(
+                "coarse_iters > 0 requires a fused loop "
+                "(chunk_iters >= max_iteration + 1)"
+            )
+        if not 0 < c < max_iter:
+            raise ValueError(
+                f"coarse_iters={c} must leave at least one full-cloud "
+                f"iteration before the scoring pass (max_iteration={max_iter})"
+            )
+        cs = int(coarse_stride)
+        if cs < 2:
+            raise ValueError(f"coarse_stride={cs} must be >= 2")
+        valid_c = valid[::cs]
+
+        def coarse_body(it, s: _State) -> _State:
+            AtA, Atb, count, _mse = reduce_fn(s.cloud, valid_c, query_fn)
+            x = _solve_damped(AtA, Atb)
+            upd = geometry.twist_to_mat4(x)
+            ok = count > 0  # empty association: hold the pose (icp.cpp:156)
+            return s._replace(
+                cloud=jnp.where(ok, geometry.transform_points(upd, s.cloud),
+                                s.cloud),
+                T=jnp.where(ok, jnp.matmul(upd, s.T, precision=F32), s.T),
+                it=it + 1,
+            )
+
+        warm = jax.lax.fori_loop(
+            0, c, coarse_body, init._replace(cloud=cloud[::cs])
+        )
+        # hand off: move the FULL cloud by the accumulated coarse transform
+        # and run the standard scored loop from iteration c. Scores restart
+        # from zero, so the fine phase behaves exactly like a fresh ICP
+        # initialized at the coarse-polished pose.
+        init_fine = init._replace(
+            cloud=geometry.transform_points(warm.T, cloud),
+            T=warm.T,
+            it=jnp.int32(c),
+        )
+        final = jax.lax.fori_loop(c, total, body, init_fine)
+        return (
+            RegistrationResult(final.T, final.fitness, final.rmse, n_total),
+            final.cloud,
+        )
     if k > 1:
         if reduction != "matmul":
             raise ValueError("reassociate_every > 1 requires reduction='matmul'")

@@ -47,7 +47,7 @@ def _scene_with_gate(scene, max_dist: float):
     static_argnames=(
         "width", "height", "max_points", "criteria", "use_pallas",
         "lift", "window", "stride", "roi", "chunk_iters", "robust_delta",
-        "reassociate_every",
+        "reassociate_every", "coarse_iters", "coarse_stride",
     ),
 )
 def refine_poses_jit(
@@ -68,6 +68,8 @@ def refine_poses_jit(
     chunk_iters: int = 8,
     robust_delta: float = 0.0,
     reassociate_every: int = 1,
+    coarse_iters: int = 0,
+    coarse_stride: int = 2,
 ):
     """The fused program: render N poses, lift to clouds, run batched ICP.
 
@@ -126,6 +128,7 @@ def refine_poses_jit(
         return icp.icp_point_to_plane(
             cloud, valid, scene.query, criteria, chunk_iters=chunk_iters,
             robust_delta=robust_delta, reassociate_every=reassociate_every,
+            coarse_iters=coarse_iters, coarse_stride=coarse_stride,
         )
 
     results, _clouds = jax.vmap(one)(clouds, valids)
@@ -206,6 +209,8 @@ class PoseRefiner:
         scene_stride: int = 1,
         robust_delta: float = 0.0,
         reassociate_every: int = 1,
+        coarse_iters: int = 0,
+        coarse_stride: int = 2,
         devices=None,
     ):
         self.model = Model.load(model) if isinstance(model, str) else model
@@ -322,6 +327,14 @@ class PoseRefiner:
         # row-count-bound iteration cost). 1 = reference semantics;
         # quality-gate any k > 1 (scripts/reassoc_study.py).
         self.reassociate_every = int(reassociate_every)
+        # coarse_iters/coarse_stride: coarse-to-fine ICP point schedule -
+        # the first coarse_iters iterations run on a 1-in-coarse_stride
+        # subsample of each cloud (iteration cost is gather-row-bound, so
+        # they cost ~1/stride of a full one), then the scored loop finishes
+        # on the full cloud; one fused program either way (icp.py).
+        # Quality-gated before any production use (scripts/coarse_points_study.py).
+        self.coarse_iters = int(coarse_iters)
+        self.coarse_stride = int(coarse_stride)
         # one deferred saturation check per frame (see _warn_if_saturated)
         self._check_saturation = False
         # ICP early-exit granularity; >= max_iteration+1 means one fused
@@ -380,6 +393,8 @@ class PoseRefiner:
         caches on (matches refine_poses_sharded's key construction)."""
         return (
             ("chunk_iters", self._resolve_chunk_iters(criteria)),
+            ("coarse_iters", self.coarse_iters),
+            ("coarse_stride", self.coarse_stride),
             ("lift", self.lift),
             ("reassociate_every", self.reassociate_every),
             ("robust_delta", self.robust_delta),
@@ -414,8 +429,9 @@ class PoseRefiner:
         reference's extra fitness-only iteration, icp.cpp:137) on
         device backends, chunks of 8 on CPU where dispatch is free and
         early exit pays."""
-        if self.reassociate_every > 1:
-            # correspondence reuse needs the fused nested loop
+        if self.reassociate_every > 1 or self.coarse_iters > 0:
+            # correspondence reuse / the coarse-to-fine point schedule
+            # need the fused loop
             return int(criteria.max_iteration) + 1
         if self.chunk_iters != "auto":
             return self.chunk_iters
@@ -871,14 +887,14 @@ class PoseRefiner:
     static_argnames=(
         "width", "height", "max_points", "criteria", "use_pallas",
         "lift", "window", "stride", "roi", "chunk_iters", "robust_delta",
-        "reassociate_every",
+        "reassociate_every", "coarse_iters", "coarse_stride",
     ),
 )
 def track_poses_jit(
     tris, init_poses, frame_depth, proj, K_render, K_full, max_dist,
     width, height, max_points, criteria, use_pallas,
     lift="window", window=256, stride=2, roi=(0, 0, 0, 0), chunk_iters=8,
-    robust_delta=0.0, reassociate_every=1,
+    robust_delta=0.0, reassociate_every=1, coarse_iters=0, coarse_stride=2,
 ):
     """Per-frame scene build FUSED with refinement: one program per frame.
 
@@ -893,6 +909,7 @@ def track_poses_jit(
         use_pallas=use_pallas, lift=lift, window=window, stride=stride,
         roi=roi, chunk_iters=chunk_iters, robust_delta=robust_delta,
         reassociate_every=reassociate_every,
+        coarse_iters=coarse_iters, coarse_stride=coarse_stride,
     )
 
 
@@ -901,7 +918,7 @@ def track_poses_jit(
     static_argnames=(
         "width", "height", "max_points", "criteria", "use_pallas",
         "lift", "window", "stride", "roi", "chunk_iters", "robust_delta",
-        "reassociate_every", "scene_stride",
+        "reassociate_every", "scene_stride", "coarse_iters", "coarse_stride",
     ),
 )
 def track_poses_nn_jit(
@@ -909,6 +926,7 @@ def track_poses_nn_jit(
     width, height, max_points, criteria, use_pallas,
     lift="window", window=256, stride=2, roi=(0, 0, 0, 0), chunk_iters=8,
     robust_delta=0.0, reassociate_every=1, scene_stride=1,
+    coarse_iters=0, coarse_stride=2,
 ):
     """Per-frame NN-scene build FUSED with refinement - the NN twin of
     track_poses_jit. The reference rebuilds Scene_nn on the HOST every
@@ -926,6 +944,7 @@ def track_poses_nn_jit(
         use_pallas=use_pallas, lift=lift, window=window, stride=stride,
         roi=roi, chunk_iters=chunk_iters, robust_delta=robust_delta,
         reassociate_every=reassociate_every,
+        coarse_iters=coarse_iters, coarse_stride=coarse_stride,
     )
 
 

@@ -422,3 +422,60 @@ def test_reassociate_every_recovers_and_validates():
         icp_mod.icp_point_to_plane(cloud, vmask, scene.query,
                                    reduction="packed",
                                    chunk_iters=64, reassociate_every=2)
+
+
+def test_coarse_schedule_recovers_and_validates():
+    """Coarse-to-fine point schedule: the first coarse_iters iterations run
+    on a strided subsample, the rest (and the scoring pass) on the full
+    cloud. Recovers the golden perturbation like the plain loop; invalid
+    combinations raise."""
+    import pytest
+
+    import pose_refine_tpu as prt
+
+    W, H = 160, 120
+    K = geometry.LINEMOD_K.copy()
+    K[:2] *= 0.25
+    m = mesh.make_bumpy_sphere(radius=50.0, subdivisions=3)
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    scene_depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+
+    base = dict(K=K, width=W, height=H, max_points=4096, window=64,
+                stride=1, use_pallas=False)
+    ref = prt.PoseRefiner(m, coarse_iters=12, coarse_stride=2, **base)
+    ref.set_scene_depth(scene_depth)
+    refined, res = ref.refine(pose1)
+    R_err = np.asarray(refined)[:3, :3] @ pose2[:3, :3].T
+    ang = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+    assert ang < 4.0, f"coarse-12 refinement off by {ang} deg"
+    assert float(res.fitness) > 0.7
+
+    # the fine phase scores on the FULL cloud: n_points must equal the
+    # plain loop's divisor, not the subsample's
+    plain = prt.PoseRefiner(m, **base)
+    plain.set_scene_depth(scene_depth)
+    refined_p, res_p = plain.refine(pose1)
+    assert float(res.n_points) == float(res_p.n_points)
+    # and land in the same basin as the plain loop
+    R_x = np.asarray(refined)[:3, :3] @ np.asarray(refined_p)[:3, :3].T
+    xang = np.degrees(np.arccos(np.clip((np.trace(R_x) - 1) / 2, -1, 1)))
+    assert xang < 1.0, f"coarse vs plain differ by {xang} deg"
+
+    scene = prt.SceneProjective.from_depth(scene_depth, K)
+    cloud = np.zeros((64, 3), np.float32)
+    vmask = np.ones(64, bool)
+    with pytest.raises(ValueError, match="fused"):
+        icp_mod.icp_point_to_plane(cloud, vmask, scene.query,
+                                   chunk_iters=4, coarse_iters=8)
+    with pytest.raises(ValueError, match="combine"):
+        icp_mod.icp_point_to_plane(cloud, vmask, scene.query,
+                                   chunk_iters=64, coarse_iters=8,
+                                   reassociate_every=2)
+    with pytest.raises(ValueError, match="scoring"):
+        icp_mod.icp_point_to_plane(cloud, vmask, scene.query,
+                                   chunk_iters=64, coarse_iters=30)
+    with pytest.raises(ValueError, match="coarse_stride"):
+        icp_mod.icp_point_to_plane(cloud, vmask, scene.query,
+                                   chunk_iters=64, coarse_iters=8,
+                                   coarse_stride=1)
