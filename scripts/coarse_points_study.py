@@ -61,3 +61,43 @@ for c, s in ((0, 2), (8, 2), (12, 2), (16, 2), (12, 4), (16, 4)):
           f"recovered {rec.mean()*100:3.0f}% | verdict agree {(rec==base_ok).mean()*100:5.1f}% | "
           f"ADD(rec) mean {adds[rec].mean():.3f} max {adds[rec].max():.3f} mm | "
           f"vs-c0 ADD(rec) max {d0[rec].max():.3f} mm{flip_txt}", flush=True)
+
+
+# ---- part 2: the opt-in's value in the other serving modes ----
+# streaming ceiling (batch 512 x 4 in flight, the r3 sweet spot) and the
+# NN pipeline (voxel-2mm scene). Run only when part 1 completed (same
+# process, warm cache for c=0 configs).
+
+from pose_refine_tpu.pipeline import fence
+
+print("\n-- streaming ceiling (batch 512, 4 in flight) --", flush=True)
+big = np.concatenate([poses, poses], axis=0)
+big_j = jax.device_put(jnp.asarray(big))
+for c, s in ((0, 2), (12, 2), (16, 4)):
+    refiner = prt.PoseRefiner(model, K=K, width=640, height=480,
+                              render_scale=2, window=128, stride=2,
+                              max_points=2048, decimate_mm=4.0,
+                              coarse_iters=c, coarse_stride=s)
+    refiner.set_scene_depth(scene_depth)
+    refiner.refine(big_j, criteria=CRIT)  # warm
+    def run():
+        pending = [refiner.refine_async(big_j, criteria=CRIT) for _ in range(4)]
+        return fence(*pending)
+    wall, _ = time_median(run)
+    print(f"coarse {c:2d}/stride {s}: {4 * len(big) / wall:5.0f} poses/s "
+          f"({wall*1e3:.0f} ms / 4x{len(big)})", flush=True)
+
+print("\n-- NN pipeline (voxel-2mm scene, batch 256) --", flush=True)
+for c, s in ((0, 2), (12, 2), (16, 4)):
+    refiner = prt.PoseRefiner(model, K=K, width=640, height=480,
+                              render_scale=2, window=128, stride=2,
+                              max_points=2048, decimate_mm=4.0,
+                              scene="nn_bruteforce", scene_voxel_mm=2.0,
+                              coarse_iters=c, coarse_stride=s)
+    refiner.set_scene_depth(scene_depth)
+    wall, (refined, res) = time_median(lambda: refiner.refine(poses_j, criteria=CRIT))
+    refined = np.asarray(refined)
+    rot = rotation_angle_deg(refined, truth)
+    rec = rot < 3.0
+    print(f"coarse {c:2d}/stride {s}: {N / wall:5.0f} poses/s "
+          f"({wall*1e3:.0f} ms) | recovered {rec.mean()*100:3.0f}%", flush=True)
