@@ -101,3 +101,55 @@ for c, s in ((0, 2), (12, 2), (16, 4)):
     rec = rot < 3.0
     print(f"coarse {c:2d}/stride {s}: {N / wall:5.0f} poses/s "
           f"({wall*1e3:.0f} ms) | recovered {rec.mean()*100:3.0f}%", flush=True)
+
+
+# ---- part 3: are NN verdicts flip-stable under the coarse schedule? ----
+# Projective association is discontinuous at occlusion boundaries (a moved
+# point's image-space lookup jumps surfaces), which is where the
+# borderline-basin flips plausibly come from; NN association is
+# continuous in the pose. Build a genuinely BORDERLINE NN workload
+# (+-15 deg / +-30 mm: beyond the acceptance recipe, so some cases fail)
+# and check per-case verdict agreement c>0 vs c=0.
+
+from pose_refine_tpu.geometry import sample_hypotheses
+
+print("\n-- NN borderline flip check (+-15 deg/+-30 mm, batch 256) --", flush=True)
+hard = sample_hypotheses(truth, N, rot_deg=15.0, trans_mm=30.0,
+                         rng=np.random.default_rng(7))
+hard_j = jax.device_put(jnp.asarray(hard))
+nn_base = None
+for c, s in ((0, 2), (8, 2), (12, 2), (16, 2), (16, 4)):
+    refiner = prt.PoseRefiner(model, K=K, width=640, height=480,
+                              render_scale=2, window=128, stride=2,
+                              max_points=2048, decimate_mm=4.0,
+                              scene="nn_bruteforce", scene_voxel_mm=2.0,
+                              coarse_iters=c, coarse_stride=s)
+    refiner.set_scene_depth(scene_depth)
+    refined, res = refiner.refine(hard_j, criteria=CRIT)
+    rec = rotation_angle_deg(np.asarray(refined), truth) < 3.0
+    if nn_base is None:
+        nn_base = rec
+    flips = np.nonzero(rec != nn_base)[0]
+    flip_txt = "" if not len(flips) else (
+        " | flips: " + ", ".join(
+            f"{i}({'RECOVERS' if rec[i] else 'FAILS'})" for i in flips))
+    print(f"coarse {c:2d}/stride {s}: recovered {rec.mean()*100:4.1f}% | "
+          f"verdict agree {(rec==nn_base).mean()*100:5.1f}%{flip_txt}", flush=True)
+
+# and the projective twin of the same hard workload, for a fair read on
+# whether flip-proneness is the ASSOCIATION's property, not the workload's
+print("\n-- projective twin of the borderline workload --", flush=True)
+pj_base = None
+for c, s in ((0, 2), (12, 2), (16, 4)):
+    refiner = prt.PoseRefiner(model, K=K, width=640, height=480,
+                              render_scale=2, window=128, stride=2,
+                              max_points=2048, decimate_mm=4.0,
+                              coarse_iters=c, coarse_stride=s)
+    refiner.set_scene_depth(scene_depth)
+    refined, res = refiner.refine(hard_j, criteria=CRIT)
+    rec = rotation_angle_deg(np.asarray(refined), truth) < 3.0
+    if pj_base is None:
+        pj_base = rec
+    flips = np.nonzero(rec != pj_base)[0]
+    print(f"coarse {c:2d}/stride {s}: recovered {rec.mean()*100:4.1f}% | "
+          f"verdict agree {(rec==pj_base).mean()*100:5.1f}% | {len(flips)} flips", flush=True)
