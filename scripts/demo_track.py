@@ -7,9 +7,12 @@ re-inits its scene every frame too, SURVEY 3.3 - our warm rebuild is
 refined. Static shapes mean frame 2+ hits the compile cache - the loop
 runs at steady-state latency.
 
-Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/demo_track.py [nn]
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/demo_track.py [nn] [coarse]
   'nn' tracks with the fused ON-DEVICE NN scene build
   (SceneNN.from_depth_device + flash association) instead of projective.
+  'coarse' opts into the coarse-to-fine ICP point schedule (c=16, s=4) -
+  the LOW-RISK place for it: the tracking prior is within a few degrees,
+  so the borderline-basin flips the headline study gates on cannot arise.
 """
 import sys
 import time
@@ -27,12 +30,15 @@ from pose_refine_tpu.utils.sync import sync
 
 N_HYP = 16      # tracking needs few hypotheses - the prior is good
 N_FRAMES = 30
-NN = len(sys.argv) > 1 and sys.argv[1] == "nn"
+NN = "nn" in sys.argv[1:]
+COARSE = "coarse" in sys.argv[1:]
 model, tris, K, proj, truth0, _ = setup(4)
 
 refiner = prt.PoseRefiner(model, K=K, width=640, height=480, render_scale=2,
                           chunk_iters=64, window=128, stride=2,
                           max_points=2048, decimate_mm=4.0,
+                          **(dict(coarse_iters=16, coarse_stride=4)
+                             if COARSE else {}),
                           **(dict(scene="nn_bruteforce", scene_stride=3)
                              if NN else {}))
 
@@ -52,11 +58,10 @@ for frame in range(N_FRAMES):
     # "sensor" frame -> ONE fused program: scene build + refinement
     frame_depth = scene_render(tris, truth, proj)
     t0 = time.perf_counter()
-    jitter = np.asarray(geometry.euler_to_rotation(
-        rng.uniform(-0.02, 0.02, (N_HYP, 3)).astype(np.float32)))
-    hyps = np.asarray(geometry.pose_from_Rt(
-        np.einsum("nij,jk->nik", jitter, estimate[:3, :3]),
-        estimate[:3, 3] + rng.uniform(-3, 3, (N_HYP, 3)).astype(np.float32)))
+    # pure host numpy - the eager-jnp version of this cost ~2 device
+    # dispatches (~28 ms EACH on tunneled runtimes) inside the timed loop
+    hyps = geometry.sample_hypotheses(
+        estimate, N_HYP, rot_deg=np.degrees(0.02), trans_mm=3.0, rng=rng)
     refined, res = refiner.track(frame_depth, hyps)
     sync((refined, res.fitness))
     dt = time.perf_counter() - t0
