@@ -228,6 +228,32 @@ def main():
     except Exception as e:
         _emit({"metric": "poses_per_sec_batch256_streaming", "error": str(e)[:200]})
 
+    # ---- secondary metric: the OPT-IN serving ceiling - streaming batch
+    # 512 x 4 in flight with the coarse-to-fine ICP point schedule
+    # (coarse_iters=16/coarse_stride=4). Not the headline config: ~4-5% of
+    # borderline verdicts flip under the schedule (balanced, recovered-pose
+    # ADD identical - scripts/coarse_points_study.py), so it stays opt-in ----
+    try:
+        refiner_c = prt.PoseRefiner(
+            model, K=K, width=WIDTH, height=HEIGHT, use_pallas=use_pallas,
+            coarse_iters=16, coarse_stride=4, **CFG
+        )
+        refiner_c.set_scene_depth(scene_depth)
+        poses512c = jax.device_put(jnp.asarray(np.concatenate([poses, poses])))
+        refiner_c.refine(poses512c, criteria=CRIT)  # warm the program
+        t0 = time.perf_counter()
+        pending = [refiner_c.refine_async(poses512c, criteria=CRIT) for _ in range(4)]
+        prt.fence(*pending)
+        t_ceil = (time.perf_counter() - t0) / 4
+        _emit({"metric": "poses_per_sec_serving_ceiling_coarse_optin",
+               "value": round(512 / t_ceil, 1), "unit": "poses/sec",
+               "wall_ms_per_batch": round(t_ceil * 1000, 1),
+               "batches_in_flight": 4, "batch": 512,
+               "config": {"coarse_iters": 16, "coarse_stride": 4}})
+    except Exception as e:
+        _emit({"metric": "poses_per_sec_serving_ceiling_coarse_optin",
+               "error": str(e)[:200]})
+
     # ---- secondary metric: production config WITHOUT render-mesh
     # decimation (the full 31k-tri obj_06, for apples-to-apples against
     # renderers that do not simplify) ----
