@@ -40,6 +40,45 @@ def annotate(name: str):
         yield
 
 
+def device_memory_stats(device=None) -> dict | None:
+    """Allocator statistics for one device (the reference prints free/total
+    HBM via cudaMemGetInfo in print_cuda_memory_usage, renderer.cu:52-69).
+
+    Returns the backend's stats dict (keys like ``bytes_in_use``,
+    ``peak_bytes_in_use``, ``bytes_limit``) or None when the backend does
+    not report them (e.g. the CPU platform and some plugin backends).
+    """
+    dev = device if device is not None else jax.devices()[0]
+    getter = getattr(dev, "memory_stats", None)
+    if getter is None:
+        return None
+    try:
+        return getter()
+    except Exception:
+        return None
+
+
+def log_memory_usage(prefix: str = "device memory", device=None) -> str:
+    """One-line human-readable memory summary (or an honest 'unavailable')."""
+    stats = device_memory_stats(device)
+    if not stats:
+        msg = f"{prefix}: allocator stats unavailable on this backend"
+    else:
+        used = stats.get("bytes_in_use")
+        peak = stats.get("peak_bytes_in_use")
+        limit = stats.get("bytes_limit")
+        parts = []
+        if used is not None:
+            parts.append(f"in_use {used / 2**20:.1f} MiB")
+        if peak is not None:
+            parts.append(f"peak {peak / 2**20:.1f} MiB")
+        if limit is not None:
+            parts.append(f"limit {limit / 2**20:.1f} MiB")
+        msg = f"{prefix}: " + ", ".join(parts)
+    print(msg)
+    return msg
+
+
 class StepTimer:
     """Rolling wall-clock stats for production loops (observability beyond
     the reference's std::cout timers, helper.h:138-155)."""

@@ -79,6 +79,19 @@ def test_step_timer():
     assert t.count == 3 and t.mean >= 0 and t.worst >= t.mean
 
 
+def test_device_memory_stats():
+    """print_cuda_memory_usage analog (renderer.cu:52-69): returns the
+    backend's allocator dict or an honest None; the log line never raises."""
+    from pose_refine_tpu.utils.profiling import device_memory_stats, log_memory_usage
+
+    stats = device_memory_stats()
+    assert stats is None or isinstance(stats, dict)
+    msg = log_memory_usage("test")
+    assert msg.startswith("test")
+    if stats and "bytes_in_use" in stats:
+        assert "in_use" in msg
+
+
 def test_sync_fused_probe():
     """sync() must fence arbitrary pytrees with one probe and return the
     tree unchanged (values intact, non-array leaves passed through)."""
