@@ -202,8 +202,8 @@ def main():
 
     # ---- secondary metric: batch-512 scaling (fixed per-dispatch and
     # setup costs amortize over a larger hypothesis batch) ----
+    poses512 = jax.device_put(jnp.asarray(np.concatenate([poses, poses])))
     try:
-        poses512 = jax.device_put(jnp.asarray(np.concatenate([poses, poses])))
         t512, _ = _time_median(
             lambda: refiner.refine(poses512, criteria=CRIT), lambda o: sync((o[0], o[1].fitness))
         )
@@ -239,10 +239,9 @@ def main():
             coarse_iters=16, coarse_stride=4, **CFG
         )
         refiner_c.set_scene_depth(scene_depth)
-        poses512c = jax.device_put(jnp.asarray(np.concatenate([poses, poses])))
-        refiner_c.refine(poses512c, criteria=CRIT)  # warm the program
+        refiner_c.refine(poses512, criteria=CRIT)  # warm the program
         t0 = time.perf_counter()
-        pending = [refiner_c.refine_async(poses512c, criteria=CRIT) for _ in range(4)]
+        pending = [refiner_c.refine_async(poses512, criteria=CRIT) for _ in range(4)]
         prt.fence(*pending)
         t_ceil = (time.perf_counter() - t0) / 4
         _emit({"metric": "poses_per_sec_serving_ceiling_coarse_optin",

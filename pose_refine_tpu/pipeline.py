@@ -678,6 +678,19 @@ class PoseRefiner:
         if init_arr.ndim not in (2, 3):
             raise ValueError(f"init_poses must be (4, 4) or (N, 4, 4), got {init_arr.shape}")
         if schedule:
+            if self.coarse_iters:
+                bad = [int(i) for _, i in schedule if int(i) <= self.coarse_iters]
+                if bad:
+                    raise ValueError(
+                        f"coarse_iters={self.coarse_iters} needs every schedule "
+                        f"level to run more iterations than it (each level must "
+                        f"finish with at least one full-cloud iteration), but "
+                        f"schedule has level(s) with max_iteration={bad}. Raise "
+                        f"those levels' iteration counts or drop one of the two "
+                        f"coarse-to-fine mechanisms (schedule= gates association "
+                        f"distance across re-renders; coarse_iters subsamples "
+                        f"the cloud inside each ICP run)."
+                    )
             poses = init_poses
             for max_dist, iters in schedule:
                 # explicit base-class call: subclass overrides (e.g.

@@ -61,20 +61,18 @@ def device_memory_stats(device=None) -> dict | None:
 def log_memory_usage(prefix: str = "device memory", device=None) -> str:
     """One-line human-readable memory summary (or an honest 'unavailable')."""
     stats = device_memory_stats(device)
-    if not stats:
-        msg = f"{prefix}: allocator stats unavailable on this backend"
-    else:
-        used = stats.get("bytes_in_use")
-        peak = stats.get("peak_bytes_in_use")
-        limit = stats.get("bytes_limit")
-        parts = []
-        if used is not None:
-            parts.append(f"in_use {used / 2**20:.1f} MiB")
-        if peak is not None:
-            parts.append(f"peak {peak / 2**20:.1f} MiB")
-        if limit is not None:
-            parts.append(f"limit {limit / 2**20:.1f} MiB")
+    parts = []
+    if stats:
+        for key, label in (("bytes_in_use", "in_use"),
+                           ("peak_bytes_in_use", "peak"),
+                           ("bytes_limit", "limit")):
+            val = stats.get(key)
+            if val is not None:
+                parts.append(f"{label} {val / 2**20:.1f} MiB")
+    if parts:
         msg = f"{prefix}: " + ", ".join(parts)
+    else:
+        msg = f"{prefix}: allocator stats unavailable on this backend"
     print(msg)
     return msg
 

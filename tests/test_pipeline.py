@@ -354,6 +354,27 @@ def test_feature_composition(setup):
     assert float(results.fitness) > 0.7
 
 
+def test_schedule_coarse_iters_conflict(setup):
+    """schedule= levels must out-iterate coarse_iters; the conflict raises an
+    actionable error up front (naming both features), and compatible levels
+    still run."""
+    m, K = setup
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    scene_depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+    refiner = prt.PoseRefiner(
+        m, K=K, width=W, height=H, use_pallas=False, stride=1,
+        coarse_iters=12, coarse_stride=2,
+    )
+    refiner.set_scene_depth(scene_depth)
+    with pytest.raises(ValueError, match="schedule"):
+        refiner.refine(pose1, schedule=[(0.25, 10), (0.05, 20)])
+    refined, _ = refiner.refine(pose1, schedule=[(0.25, 15), (0.05, 20)])
+    R_err = np.asarray(refined)[:3, :3] @ pose2[:3, :3].T
+    ang_err = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+    assert ang_err < 5.0
+
+
 def test_roi_hysteresis(setup):
     """The ROI is a static jit argument; small object drift must NOT move it
     (per-frame recompiles turn a tracking loop from ~5 fps to ~0.1), while a
