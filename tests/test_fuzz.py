@@ -22,6 +22,8 @@ def _case(seed):
         scene=str(rng.choice(["projective", "nn_bruteforce"])),
         decimate_mm=float(rng.choice([0.0, 6.0])),
         robust_delta=float(rng.choice([0.0, 0.02])),
+        coarse_iters=int(rng.choice([0, 8])),
+        coarse_stride=int(rng.choice([2, 4])),
     )
     if w % cfg["render_scale"] or h % cfg["render_scale"]:
         cfg["render_scale"] = 1
