@@ -426,6 +426,27 @@ def test_track_matches_set_scene_plus_refine(setup):
                         use_pallas=False).track(d, pose1)
 
 
+def test_track_coarse_schedule(setup):
+    """track() with the coarse point schedule (its low-risk home - tracking
+    priors are degrees-close): fused path == two-step path, and the result
+    still converges to the frame pose."""
+    m, K = setup
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    d = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+
+    refiner = prt.PoseRefiner(m, K=K, width=W, height=H, max_points=4096,
+                              use_pallas=False, window=64, stride=1,
+                              coarse_iters=8, coarse_stride=2)
+    tracked, res_t = refiner.track(d, pose1)
+    refiner.set_scene_depth(d)
+    refined, _ = refiner.refine(pose1)
+    np.testing.assert_allclose(np.asarray(tracked), np.asarray(refined), atol=1e-5)
+    R_err = np.asarray(tracked)[:3, :3] @ pose2[:3, :3].T
+    ang = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+    assert ang < 2.0 and float(np.asarray(res_t.fitness)) > 0.8
+
+
 def test_multi_model_track(setup):
     """MultiModelRefiner.track: fused per-frame step with per-pose models."""
     m1, K = setup
