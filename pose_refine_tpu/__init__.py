@@ -23,6 +23,8 @@ from pose_refine_tpu.icp import (  # noqa: F401
     RegistrationResult,
     icp_point_to_plane,
     icp_point_to_plane_batch,
+    pose_information,
+    pose_covariance,
 )
 from pose_refine_tpu.scene import SceneProjective, SceneNN, KDTree, build_kdtree  # noqa: F401
 from pose_refine_tpu.api import PoseRenderer, get_bbox  # noqa: F401

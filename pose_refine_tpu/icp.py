@@ -390,6 +390,54 @@ def icp_point_to_plane(
     )
 
 
+def pose_information(cloud, valid, query_fn: Callable,
+                     robust_delta: float = 0.0):
+    """Gauss-Newton information matrix of a refined pose (beyond parity).
+
+    One association + reduction pass at the given (already transformed)
+    cloud - the same J rows the solver uses ([p x n, n] twist order
+    [omega, t], icp.h:157-163) - returning:
+
+      info:   (6, 6) J^T J - the unscaled information matrix. Near-zero
+              eigenvalues are the pose's unconstrained directions (e.g. a
+              single plane leaves in-plane translation + in-plane rotation
+              free; a sphere leaves all rotations free).
+      sigma2: unbiased point-to-plane residual variance, sum(b^2)/(n-6).
+      count:  inlier count n.
+
+    The Laplace/Gauss-Newton pose covariance is sigma2 * inv(info)
+    (`pose_covariance` computes it with a relative ridge for the
+    unconstrained directions). Works under vmap/jit; costs one extra
+    association gather, only when called - the refinement program is
+    untouched. Uncertainty output has no reference analog (its results
+    carry only fitness/rmse, icp.h:26-36)."""
+    cloud = jnp.asarray(cloud, jnp.float32)
+    valid = jnp.asarray(valid, bool)
+    dst, nrm, q_valid = query_fn(cloud)
+    v = (q_valid & valid).astype(cloud.dtype)
+    b = jnp.sum((dst - cloud) * nrm, axis=-1)
+    w = v if robust_delta <= 0.0 else v * _huber_sqrt_w(b, robust_delta)
+    arow = jnp.concatenate([jnp.cross(cloud, nrm), nrm], axis=-1) * w[:, None]
+    info = jnp.einsum("pi,pj->ij", arow, arow, precision=F32)
+    rss = jnp.sum((b * w) ** 2)
+    count = jnp.sum(v)
+    sigma2 = rss / jnp.maximum(count - 6.0, 1.0)
+    return info, sigma2, count
+
+
+def pose_covariance(info, sigma2, rel_ridge: float = 1e-6):
+    """sigma2 * inv(info) with a RELATIVE ridge: unconstrained directions
+    (near-zero eigenvalues) come back as large-variance, not inf/NaN. The
+    ridge scales with trace(info)/6 so well-conditioned problems are
+    perturbed by ~rel_ridge only."""
+    info = jnp.asarray(info, jnp.float32)
+    scale = jnp.trace(info, axis1=-2, axis2=-1) / 6.0
+    ridge = jnp.maximum(scale * rel_ridge, 1e-30)
+    eye = jnp.eye(6, dtype=info.dtype)
+    M = info + ridge[..., None, None] * eye
+    return sigma2[..., None, None] * jnp.linalg.inv(M)
+
+
 @functools.partial(
     jax.jit, static_argnames=("criteria", "chunk_iters", "robust_delta")
 )

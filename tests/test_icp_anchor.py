@@ -177,3 +177,77 @@ def test_twist_composition_matches_euler_f64():
         R = rot(2, c) @ rot(1, b_) @ rot(0, a)
         np.testing.assert_allclose(got[:3, :3], R, atol=2e-6)
         np.testing.assert_allclose(got[:3, 3], x[3:], atol=1e-7)
+
+
+def plane_scene_query(src):
+    """Closest point + normal on the single plane z=0. Pure closed-form."""
+    n = jnp.zeros_like(src).at[:, 2].set(1.0)
+    dst = src * jnp.asarray([1.0, 1.0, 0.0], src.dtype)
+    return dst, n, jnp.ones(src.shape[0], bool)
+
+
+def test_pose_information_nullspace_on_plane():
+    """A single plane constrains exactly 3 DOFs (t_z, rot_x, rot_y); the
+    information matrix must be rank-3 with its null space spanning
+    {rot_z, t_x, t_y} - closed-form structure, no implementation to agree
+    with by accident."""
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(-0.3, 0.3, (500, 3)).astype(np.float32)
+    pts[:, 2] = 0.0
+    info, sigma2, count = icp.pose_information(
+        jnp.asarray(pts), jnp.ones(len(pts), bool), plane_scene_query
+    )
+    info = np.asarray(info, np.float64)
+    assert int(count) == 500
+    assert float(sigma2) < 1e-10  # exact correspondences: zero residual
+    # rows/cols for rot_z (2), t_x (3), t_y (4) are identically zero:
+    # J rows are [p_y, -p_x, 0, 0, 0, 1] for n = z
+    for idx in (2, 3, 4):
+        np.testing.assert_allclose(info[idx], 0.0, atol=1e-6)
+    w = np.linalg.eigvalsh(info)
+    assert np.all(w[:3] < 1e-6) and np.all(w[3:] > 1e-3)
+
+
+def test_pose_covariance_matches_noise_level():
+    """Gaussian depth noise sigma along the plane normal must come back as
+    sigma2 ~ sigma^2 and var(t_z) ~ sigma^2 / n - the textbook Laplace
+    approximation, checked against the generative model."""
+    rng = np.random.default_rng(12)
+    n_pts, sigma = 4000, 0.002
+    pts = rng.uniform(-0.3, 0.3, (n_pts, 3))
+    pts[:, 2] = rng.normal(0.0, sigma, n_pts)  # noisy height off z=0
+    pts = pts.astype(np.float32)
+    info, sigma2, count = icp.pose_information(
+        jnp.asarray(pts), jnp.ones(n_pts, bool), plane_scene_query
+    )
+    assert abs(float(sigma2) - sigma**2) < 0.15 * sigma**2
+    cov = np.asarray(icp.pose_covariance(info, sigma2))
+    var_tz = cov[5, 5]
+    expect = sigma**2 / n_pts
+    assert abs(var_tz - expect) < 0.3 * expect
+    # unconstrained directions come back huge, not NaN/inf
+    assert np.isfinite(cov).all()
+    assert cov[3, 3] > 1e3 * var_tz and cov[2, 2] > 1e3 * var_tz
+
+
+def test_pose_information_full_rank_on_corner_and_vmap():
+    """The corner scene constrains all 6 DOFs; pose_information must be
+    full-rank there and compose with vmap (batched serving use)."""
+    import jax
+
+    rng = np.random.default_rng(13)
+    pts = corner_points(rng)
+    info, _, _ = icp.pose_information(
+        jnp.asarray(pts), jnp.ones(len(pts), bool), corner_scene_query
+    )
+    w = np.linalg.eigvalsh(np.asarray(info, np.float64))
+    assert w[0] > 1e-3  # smallest eigenvalue bounded away from zero
+
+    batch = jnp.stack([jnp.asarray(pts), jnp.asarray(pts * 0.9)])
+    valids = jnp.ones(batch.shape[:2], bool)
+    infos, s2s, counts = jax.vmap(
+        lambda c, v: icp.pose_information(c, v, corner_scene_query)
+    )(batch, valids)
+    assert infos.shape == (2, 6, 6) and s2s.shape == (2,)
+    covs = icp.pose_covariance(infos, s2s)
+    assert covs.shape == (2, 6, 6) and np.isfinite(np.asarray(covs)).all()
