@@ -1,8 +1,9 @@
-"""Mesh loading: PLY -> triangle soup.
+"""Mesh loading: PLY / OBJ / STL -> triangle soup.
 
 Replaces the reference's Assimp-based loader (renderer.h:27-155,
-renderer.cpp:11-150) with a dependency-free numpy PLY parser (ASCII and
-binary_little_endian). The output matches the reference ``Model``: a flat
+renderer.cpp:11-150) with dependency-free numpy parsers for the formats pose
+datasets actually ship: PLY (ASCII and binary_little_endian), Wavefront OBJ,
+and STL (ascii + binary). The output matches the reference ``Model``: a flat
 (T, 3, 3) float32 triangle array (triangle soup), the raw vertex/face arrays,
 and the axis-aligned bounding box. Faces with fewer than 3 indices are skipped
 (renderer.cpp:79); faces with more than 3 are fan-triangulated (the reference
@@ -67,8 +68,20 @@ class Model:
 
     @classmethod
     def load(cls, path: str, verbose: bool = True) -> "Model":
-        """Load a PLY mesh. Warns above 10k faces like renderer.cpp:54-55."""
-        vertices, faces = load_ply(path)
+        """Load a mesh (PLY / OBJ / STL by extension).
+
+        The reference loads through Assimp, which accepts many formats
+        (renderer.cpp:11-150); PLY, OBJ and STL cover the formats pose
+        datasets actually ship. Warns above 10k faces like renderer.cpp:54-55.
+        """
+        ext = os.path.splitext(path)[1].lower()
+        loaders = {".ply": load_ply, ".obj": load_obj, ".stl": load_stl}
+        if ext not in loaders:
+            raise ValueError(
+                f"{path}: unsupported mesh extension {ext!r} "
+                f"(supported: {sorted(loaders)})"
+            )
+        vertices, faces = loaders[ext](path)
         model = cls.from_vertices_faces(vertices, faces)
         if verbose:
             print(f"load model success: {path}")
@@ -240,6 +253,90 @@ def load_ply(path: str):
         raise ValueError(f"{path}: PLY has no vertex element")
     if faces is None:
         faces = np.zeros((0, 3), np.int32)
+    return vertices, faces
+
+
+def load_obj(path: str):
+    """Wavefront OBJ reader -> (vertices (V,3) f32, faces (F,3) i32).
+
+    Covers the subset real pose assets use: ``v x y z [w]`` (extra fields —
+    homogeneous w or vertex colors — ignored), ``f`` rows in any of the
+    ``i``, ``i/t``, ``i//n``, ``i/t/n`` index syntaxes, negative (relative)
+    indices, polygon fan-triangulation, and all other statements (vt/vn/g/
+    usemtl/...) skipped. Faces with fewer than 3 indices are skipped like
+    renderer.cpp:79.
+    """
+    verts = []
+    face_rows = []
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                if len(parts) < 4:
+                    raise ValueError(f"{path}: malformed vertex line {line!r}")
+                verts.append((float(parts[1]), float(parts[2]), float(parts[3])))
+            elif parts[0] == "f":
+                idx = []
+                for tok in parts[1:]:
+                    i = int(tok.split("/", 1)[0])
+                    # OBJ is 1-based; negative counts back from the latest vertex
+                    idx.append(i - 1 if i > 0 else len(verts) + i)
+                if len(idx) >= 3:
+                    for k in range(1, len(idx) - 1):  # fan triangulation
+                        face_rows.append((idx[0], idx[k], idx[k + 1]))
+    if not verts:
+        raise ValueError(f"{path}: OBJ has no vertices")
+    vertices = np.asarray(verts, dtype=np.float32)
+    faces = (
+        np.asarray(face_rows, dtype=np.int32)
+        if face_rows
+        else np.zeros((0, 3), np.int32)
+    )
+    if len(faces) and (faces.min() < 0 or faces.max() >= len(vertices)):
+        raise ValueError(f"{path}: OBJ face index out of range")
+    return vertices, faces
+
+
+def load_stl(path: str):
+    """STL reader (binary and ascii) -> (vertices (V,3) f32, faces (F,3) i32).
+
+    STL stores an unindexed triangle soup; exactly-equal vertices are welded
+    back into an indexed mesh (np.unique) so downstream vertex-based tooling
+    (decimation, ADD metrics) behaves as for PLY/OBJ. Welding only merges
+    bit-identical coordinates — no geometric tolerance, so no vertices move.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    # ascii STL starts with "solid" AND contains facet text; binary files may
+    # also start with "solid" in the 80-byte header, so check for "facet"
+    head = data[:512].lstrip()
+    if head.startswith(b"solid") and b"facet" in data[:4096]:
+        toks = data.split()
+        pts = []
+        for i, t in enumerate(toks):
+            if t == b"vertex":
+                pts.append((float(toks[i + 1]), float(toks[i + 2]), float(toks[i + 3])))
+        tri_pts = np.asarray(pts, dtype=np.float32)
+        if len(tri_pts) % 3 != 0:
+            raise ValueError(f"{path}: ascii STL vertex count not divisible by 3")
+    else:
+        if len(data) < 84:
+            raise ValueError(f"{path}: binary STL truncated header")
+        n = int(np.frombuffer(data, "<u4", 1, 80)[0])
+        need = 84 + 50 * n
+        if len(data) < need:
+            raise ValueError(f"{path}: binary STL truncated body")
+        # 50-byte record: normal (3f4) + 3 vertices (9f4) + u2 attribute
+        rec = np.dtype([("n", "<f4", 3), ("v", "<f4", (3, 3)), ("attr", "<u2")])
+        tri_pts = (
+            np.frombuffer(data, rec, n, 84)["v"].reshape(-1, 3).astype(np.float32)
+        )
+    if len(tri_pts) == 0:
+        raise ValueError(f"{path}: STL has no triangles")
+    vertices, inverse = np.unique(tri_pts, axis=0, return_inverse=True)
+    faces = inverse.reshape(-1, 3).astype(np.int32)
     return vertices, faces
 
 

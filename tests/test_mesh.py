@@ -207,3 +207,95 @@ def test_simplify_rejects_absurd_cell_size():
     m = mesh.make_bumpy_sphere(radius=50.0, subdivisions=2)
     with pytest.raises(ValueError, match="2\\^21"):
         mesh.simplify_vertex_clustering(m, cell_size=1e-6)
+
+
+# --- OBJ / STL loaders (Assimp-generality parity, renderer.cpp:11-150) ---
+
+
+def test_obj_roundtrip_matches_ply(tmp_path):
+    m = mesh.make_icosphere(radius=10.0, subdivisions=1)
+    p = str(tmp_path / "ico.obj")
+    with open(p, "w") as f:
+        f.write("# comment\ng sphere\n")
+        for v in m.vertices:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for a, b, c in m.faces + 1:  # OBJ is 1-based
+            f.write(f"f {a} {b} {c}\n")
+    m2 = mesh.Model.load(p, verbose=False)
+    np.testing.assert_allclose(m2.vertices, m.vertices, atol=1e-4)
+    np.testing.assert_array_equal(m2.faces, m.faces)
+
+
+def test_obj_index_syntaxes_and_negative_indices(tmp_path):
+    p = str(tmp_path / "quad.obj")
+    with open(p, "w") as f:
+        f.write(
+            "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+            "vt 0 0\nvn 0 0 1\n"
+            "f 1/1 2/1/1 3//1 4\n"      # mixed i, i/t, i/t/n, i//n syntaxes
+            "f -4 -3 -2\n"              # negative = relative to last vertex
+        )
+    m = mesh.Model.load(p, verbose=False)
+    np.testing.assert_array_equal(
+        m.faces, [[0, 1, 2], [0, 2, 3], [0, 1, 2]]
+    )
+
+
+def test_obj_skips_degenerate_and_rejects_bad_index(tmp_path):
+    p = str(tmp_path / "deg.obj")
+    with open(p, "w") as f:
+        f.write("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2\nf 1 2 3\n")
+    m = mesh.Model.load(p, verbose=False)  # 2-index face skipped (renderer.cpp:79)
+    assert m.faces.shape == (1, 3)
+
+    bad = str(tmp_path / "bad.obj")
+    with open(bad, "w") as f:
+        f.write("v 0 0 0\nf 1 2 3\n")
+    with pytest.raises(ValueError, match="out of range"):
+        mesh.load_obj(bad)
+
+
+def test_stl_binary_and_ascii_roundtrip(tmp_path):
+    import struct
+
+    m = mesh.make_icosphere(radius=5.0, subdivisions=1)
+    tris = m.tris  # (T, 3, 3)
+
+    pb = str(tmp_path / "ico.stl")
+    with open(pb, "wb") as f:
+        f.write(b"\x00" * 80)
+        f.write(struct.pack("<I", len(tris)))
+        for t in tris:
+            f.write(struct.pack("<3f", 0, 0, 0))
+            for v in t:
+                f.write(struct.pack("<3f", *v))
+            f.write(struct.pack("<H", 0))
+    mb = mesh.Model.load(pb, verbose=False)
+    # welded mesh: same triangle soup (possibly renumbered), same vertex set
+    assert mb.tris.shape == tris.shape
+    def rowsort(a):
+        return a[np.lexsort(a.T[::-1])]
+
+    np.testing.assert_allclose(rowsort(mb.vertices), rowsort(m.vertices))
+    np.testing.assert_allclose(np.sort(mb.tris.sum(axis=(1, 2))),
+                               np.sort(tris.sum(axis=(1, 2))), rtol=1e-6)
+
+    pa = str(tmp_path / "ico_ascii.stl")
+    with open(pa, "w") as f:
+        f.write("solid ico\n")
+        for t in tris:
+            f.write(" facet normal 0 0 0\n  outer loop\n")
+            for v in t:
+                f.write(f"   vertex {v[0]} {v[1]} {v[2]}\n")
+            f.write("  endloop\n endfacet\n")
+        f.write("endsolid ico\n")
+    ma = mesh.Model.load(pa, verbose=False)
+    np.testing.assert_array_equal(ma.vertices, mb.vertices)
+    np.testing.assert_array_equal(ma.faces, mb.faces)
+
+
+def test_unsupported_extension_raises(tmp_path):
+    p = str(tmp_path / "mesh.fbx")
+    open(p, "w").close()
+    with pytest.raises(ValueError, match="unsupported mesh extension"):
+        mesh.Model.load(p, verbose=False)
