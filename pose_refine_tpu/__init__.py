@@ -23,6 +23,7 @@ from pose_refine_tpu.icp import (  # noqa: F401
     RegistrationResult,
     icp_point_to_plane,
     icp_point_to_plane_batch,
+    icp_point_to_point,
     pose_information,
     pose_covariance,
 )

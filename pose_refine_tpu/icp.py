@@ -126,6 +126,61 @@ def _normal_equations(cloud, valid, query_fn, robust_delta: float = 0.0):
                                         robust_delta)
 
 
+def _p2p_equations_from_assoc(cloud, valid, dst, nrm, q_valid,
+                              robust_delta: float = 0.0):
+    """Point-to-POINT Gauss-Newton normal equations from an association.
+
+    Residual e = dst - p is a 3-vector per point; the Jacobian row block is
+    J = [-[p]x | I3] in the same [omega, t] twist order as the plane form
+    (n . J reproduces the plane A-row [cross(p, n), n], so both estimations
+    share twist_to_mat4 and the left-composition semantics). The scene's
+    normals are ignored: this is the estimation to reach for when normals
+    are unreliable (thin structures, heavy sensor noise) - Open3D's
+    TransformationEstimationPointToPoint, which the reference cross-checks
+    against but never implements (test.cpp:96-126). Beyond parity.
+
+    robust_delta > 0 (meters) Huber-weights on the 3D residual NORM (the
+    plane form weights on the signed plane residual). Scores (count /
+    point-to-point mse) are identical to the plane form by construction
+    (icp.h:151-153 already accumulates point-to-point distances).
+    """
+    del nrm  # p2p ignores scene normals
+    v = (q_valid & valid).astype(cloud.dtype)
+    diff = dst - cloud
+    if robust_delta > 0.0:
+        r = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+        w = v * jnp.sqrt(jnp.minimum(1.0, robust_delta / jnp.maximum(r, 1e-12)))
+    else:
+        w = v
+    px, py, pz = cloud[:, 0], cloud[:, 1], cloud[:, 2]
+    zeros = jnp.zeros_like(px)
+    # (P, 3, 3) = -[p]x
+    negskew = jnp.stack(
+        [
+            jnp.stack([zeros, pz, -py], axis=-1),
+            jnp.stack([-pz, zeros, px], axis=-1),
+            jnp.stack([py, -px, zeros], axis=-1),
+        ],
+        axis=-2,
+    )
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=cloud.dtype), negskew.shape)
+    J = jnp.concatenate([negskew, eye], axis=-1) * w[:, None, None]  # (P,3,6)
+    e = diff * w[:, None]
+    AtA = jnp.einsum("pab,pac->bc", J, J, precision=F32)
+    Atb = jnp.einsum("pab,pa->b", J, e, precision=F32)
+    count = jnp.sum(v)
+    mse_sum = jnp.sum(jnp.sum(diff * diff, axis=-1) * v)
+    return AtA, Atb, count, mse_sum
+
+
+def _p2p_equations(cloud, valid, query_fn, robust_delta: float = 0.0):
+    """One fused association + point-to-point reduction pass (the p2p twin
+    of _normal_equations)."""
+    dst, nrm, q_valid = query_fn(cloud)
+    return _p2p_equations_from_assoc(cloud, valid, dst, nrm, q_valid,
+                                     robust_delta)
+
+
 def _normal_equations_packed(cloud, valid, query_fn, robust_delta: float = 0.0):
     """The reference's "tight" formulation: each point maps to a 29-float
     vector (21 upper-triangular AtA entries + 6 Atb + mse + count) summed in
@@ -223,6 +278,86 @@ def icp_point_to_plane(
     Returns:
       (RegistrationResult, transformed cloud (P, 3)).
     """
+    if reassociate_every > 1 and reduction != "matmul":
+        raise ValueError("reassociate_every > 1 requires reduction='matmul'")
+    base_fn = (
+        _normal_equations_packed if reduction == "packed" else _normal_equations
+    )
+    rd = float(robust_delta)
+    return _icp_run(
+        cloud, valid, query_fn, criteria, n_points,
+        functools.partial(base_fn, robust_delta=rd),
+        functools.partial(_normal_equations_from_assoc, robust_delta=rd),
+        chunk_iters, reassociate_every, coarse_iters, coarse_stride,
+    )
+
+
+def icp_point_to_point(
+    cloud,
+    valid,
+    query_fn: Callable,
+    criteria: ICPConvergenceCriteria = ICPConvergenceCriteria(),
+    n_points=None,
+    chunk_iters: int = 8,
+    robust_delta: float = 0.0,
+    reassociate_every: int = 1,
+    coarse_iters: int = 0,
+    coarse_stride: int = 2,
+):
+    """Refine one cloud with point-to-POINT Gauss-Newton estimation.
+
+    Same outer loop, convergence semantics, scores and knobs as
+    :func:`icp_point_to_plane` (which see); only the per-point residual
+    changes: e = dst - src (3 rows per point, scene normals ignored)
+    instead of the plane-projected dot(dst - src, n). Reach for it when
+    scene normals are unreliable (thin structures, heavy sensor noise,
+    sparse clouds); it converges slower than point-to-plane (no tangential
+    sliding) - the classic trade-off. Beyond parity: the reference
+    cross-checks against Open3D's point-to-point estimator
+    (test.cpp:96-126) but implements only point-to-plane.
+
+    PAIR WITH NEAREST-NEIGHBOR ASSOCIATION (SceneNN). Projective
+    association returns the scene point at the SAME PIXEL the source
+    projects to, so its residuals are ray-aligned by construction;
+    minimizing their full 3D length is ill-posed and measured to DIVERGE
+    (first Gauss-Newton step overshoots 3x on the standard recovery
+    workload). Point-to-plane is the correct residual for projective
+    scenes - that is exactly why the reference (and every projective-ICP
+    system) uses it.
+
+    Returns:
+      (RegistrationResult, transformed cloud (P, 3)).
+    """
+    rd = float(robust_delta)
+    return _icp_run(
+        cloud, valid, query_fn, criteria, n_points,
+        functools.partial(_p2p_equations, robust_delta=rd),
+        functools.partial(_p2p_equations_from_assoc, robust_delta=rd),
+        chunk_iters, reassociate_every, coarse_iters, coarse_stride,
+    )
+
+
+def _icp_run(
+    cloud,
+    valid,
+    query_fn: Callable,
+    criteria: ICPConvergenceCriteria,
+    n_points,
+    reduce_fn: Callable,
+    from_assoc_fn: Callable,
+    chunk_iters: int,
+    reassociate_every: int,
+    coarse_iters: int,
+    coarse_stride: int,
+):
+    """Shared ICP outer loop (see icp_point_to_plane for the semantics).
+
+    reduce_fn(cloud, valid, query_fn) and from_assoc_fn(cloud, valid, dst,
+    nrm, q_valid) produce (AtA, Atb, count, mse_sum) for the chosen
+    estimation; everything else (the done-latched fori, the chunked while,
+    the coarse-to-fine schedule, correspondence reuse) is
+    estimation-agnostic.
+    """
     cloud = jnp.asarray(cloud, jnp.float32)
     valid = jnp.asarray(valid, bool)
     n_total = jnp.sum(valid).astype(jnp.float32) if n_points is None else jnp.asarray(n_points, jnp.float32)
@@ -233,10 +368,6 @@ def icp_point_to_plane(
     # done), but the whole refinement stays ONE device program. (On tunneled
     # TPU runtimes each while_loop iteration costs a host round-trip; a
     # converged lane also wastes no work under vmap either way.)
-    base_fn = (
-        _normal_equations_packed if reduction == "packed" else _normal_equations
-    )
-    reduce_fn = functools.partial(base_fn, robust_delta=float(robust_delta))
 
     def step(it, s: _State, AtA, Atb, count, mse_sum) -> _State:
         empty = count == 0
@@ -335,8 +466,6 @@ def icp_point_to_plane(
             final.cloud,
         )
     if k > 1:
-        if reduction != "matmul":
-            raise ValueError("reassociate_every > 1 requires reduction='matmul'")
         if chunk < total:
             raise ValueError(
                 "reassociate_every > 1 requires a fused loop "
@@ -360,10 +489,7 @@ def icp_point_to_plane(
             dst, nrm, q_valid = query_fn(s.cloud)
 
             def inner(j, st: _State) -> _State:
-                ne = _normal_equations_from_assoc(
-                    st.cloud, valid, dst, nrm, q_valid,
-                    robust_delta=float(robust_delta),
-                )
+                ne = from_assoc_fn(st.cloud, valid, dst, nrm, q_valid)
                 return step(ot * k + j, st, *ne)
 
             return jax.lax.fori_loop(0, k, inner, s)
@@ -391,18 +517,21 @@ def icp_point_to_plane(
 
 
 def pose_information(cloud, valid, query_fn: Callable,
-                     robust_delta: float = 0.0):
+                     robust_delta: float = 0.0,
+                     estimation: str = "point_to_plane"):
     """Gauss-Newton information matrix of a refined pose (beyond parity).
 
     One association + reduction pass at the given (already transformed)
     cloud - the same J rows the solver uses ([p x n, n] twist order
-    [omega, t], icp.h:157-163) - returning:
+    [omega, t], icp.h:157-163; for estimation='point_to_point' the 3-row
+    block [-[p]x | I]) - returning:
 
       info:   (6, 6) J^T J - the unscaled information matrix. Near-zero
               eigenvalues are the pose's unconstrained directions (e.g. a
               single plane leaves in-plane translation + in-plane rotation
               free; a sphere leaves all rotations free).
-      sigma2: unbiased point-to-plane residual variance, sum(b^2)/(n-6).
+      sigma2: unbiased residual variance: point-to-plane sum(b^2)/(n-6),
+              point-to-point sum(|e|^2)/(3n-6) (3 residual rows per point).
       count:  inlier count n.
 
     The Laplace/Gauss-Newton pose covariance is sigma2 * inv(info)
@@ -415,12 +544,27 @@ def pose_information(cloud, valid, query_fn: Callable,
     valid = jnp.asarray(valid, bool)
     dst, nrm, q_valid = query_fn(cloud)
     v = (q_valid & valid).astype(cloud.dtype)
+    count = jnp.sum(v)
+    if estimation == "point_to_point":
+        info, _Atb, _c, _mse = _p2p_equations_from_assoc(
+            cloud, valid, dst, nrm, q_valid, robust_delta=robust_delta
+        )
+        diff = dst - cloud
+        if robust_delta > 0.0:
+            r = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+            w2 = v * jnp.minimum(1.0, robust_delta / jnp.maximum(r, 1e-12))
+        else:
+            w2 = v
+        rss = jnp.sum(jnp.sum(diff * diff, axis=-1) * w2)
+        sigma2 = rss / jnp.maximum(3.0 * count - 6.0, 1.0)
+        return info, sigma2, count
+    if estimation != "point_to_plane":
+        raise ValueError(f"unknown estimation {estimation!r}")
     b = jnp.sum((dst - cloud) * nrm, axis=-1)
     w = v if robust_delta <= 0.0 else v * _huber_sqrt_w(b, robust_delta)
     arow = jnp.concatenate([jnp.cross(cloud, nrm), nrm], axis=-1) * w[:, None]
     info = jnp.einsum("pi,pj->ij", arow, arow, precision=F32)
     rss = jnp.sum((b * w) ** 2)
-    count = jnp.sum(v)
     sigma2 = rss / jnp.maximum(count - 6.0, 1.0)
     return info, sigma2, count
 

@@ -47,7 +47,7 @@ def _scene_with_gate(scene, max_dist: float):
     static_argnames=(
         "width", "height", "max_points", "criteria", "use_pallas",
         "lift", "window", "stride", "roi", "chunk_iters", "robust_delta",
-        "reassociate_every", "coarse_iters", "coarse_stride",
+        "reassociate_every", "coarse_iters", "coarse_stride", "estimation",
     ),
 )
 def refine_poses_jit(
@@ -70,6 +70,7 @@ def refine_poses_jit(
     reassociate_every: int = 1,
     coarse_iters: int = 0,
     coarse_stride: int = 2,
+    estimation: str = "point_to_plane",
 ):
     """The fused program: render N poses, lift to clouds, run batched ICP.
 
@@ -124,8 +125,21 @@ def refine_poses_jit(
 
         clouds, valids, _n = jax.vmap(one_lift)(depth)
 
+    if estimation == "point_to_plane":
+        icp_fn = icp.icp_point_to_plane
+    elif estimation == "point_to_point":
+        # scene normals are ignored by the estimator but still drive the
+        # association gate through scene.query - same correspondences,
+        # different residual (icp.icp_point_to_point)
+        icp_fn = icp.icp_point_to_point
+    else:
+        raise ValueError(
+            f"estimation must be 'point_to_plane' or 'point_to_point', "
+            f"got {estimation!r}"
+        )
+
     def one(cloud, valid):
-        return icp.icp_point_to_plane(
+        return icp_fn(
             cloud, valid, scene.query, criteria, chunk_iters=chunk_iters,
             robust_delta=robust_delta, reassociate_every=reassociate_every,
             coarse_iters=coarse_iters, coarse_stride=coarse_stride,
@@ -211,6 +225,7 @@ class PoseRefiner:
         reassociate_every: int = 1,
         coarse_iters: int = 0,
         coarse_stride: int = 2,
+        estimation: str = "point_to_plane",
         devices=None,
     ):
         self.model = Model.load(model) if isinstance(model, str) else model
@@ -335,6 +350,29 @@ class PoseRefiner:
         # Quality-gated before any production use (scripts/coarse_points_study.py).
         self.coarse_iters = int(coarse_iters)
         self.coarse_stride = int(coarse_stride)
+        # estimation: the ICP residual model. 'point_to_plane' = the
+        # reference's (icp.h:144-163); 'point_to_point' ignores scene
+        # normals (Open3D's other estimator, for unreliable-normal scenes -
+        # icp.icp_point_to_point). Association and scoring are identical.
+        if estimation not in ("point_to_plane", "point_to_point"):
+            raise ValueError(
+                f"estimation must be 'point_to_plane' or 'point_to_point', "
+                f"got {estimation!r}"
+            )
+        if estimation == "point_to_point" and scene == "projective":
+            # projective association returns the scene point at the same
+            # pixel -> ray-aligned residuals; minimizing their 3D length
+            # is ill-posed and measured to diverge (icp.icp_point_to_point
+            # docstring). Warn loudly rather than refuse: the combination
+            # is still selectable for experiments.
+            logger.warning(
+                "estimation='point_to_point' with scene='projective' is "
+                "ill-posed (ray-aligned residuals; diverges on the "
+                "standard recovery workload). Use an NN scene "
+                "(scene='nn'/'nn_bruteforce'/'nn_kdtree') for "
+                "point-to-point, or keep point_to_plane for projective."
+            )
+        self.estimation = estimation
         # one deferred saturation check per frame (see _warn_if_saturated)
         self._check_saturation = False
         # ICP early-exit granularity; >= max_iteration+1 means one fused
@@ -395,6 +433,7 @@ class PoseRefiner:
             ("chunk_iters", self._resolve_chunk_iters(criteria)),
             ("coarse_iters", self.coarse_iters),
             ("coarse_stride", self.coarse_stride),
+            ("estimation", self.estimation),
             ("lift", self.lift),
             ("reassociate_every", self.reassociate_every),
             ("robust_delta", self.robust_delta),
@@ -900,7 +939,7 @@ class PoseRefiner:
     static_argnames=(
         "width", "height", "max_points", "criteria", "use_pallas",
         "lift", "window", "stride", "roi", "chunk_iters", "robust_delta",
-        "reassociate_every", "coarse_iters", "coarse_stride",
+        "reassociate_every", "coarse_iters", "coarse_stride", "estimation",
     ),
 )
 def track_poses_jit(
@@ -908,6 +947,7 @@ def track_poses_jit(
     width, height, max_points, criteria, use_pallas,
     lift="window", window=256, stride=2, roi=(0, 0, 0, 0), chunk_iters=8,
     robust_delta=0.0, reassociate_every=1, coarse_iters=0, coarse_stride=2,
+    estimation="point_to_plane",
 ):
     """Per-frame scene build FUSED with refinement: one program per frame.
 
@@ -923,6 +963,7 @@ def track_poses_jit(
         roi=roi, chunk_iters=chunk_iters, robust_delta=robust_delta,
         reassociate_every=reassociate_every,
         coarse_iters=coarse_iters, coarse_stride=coarse_stride,
+        estimation=estimation,
     )
 
 
@@ -932,6 +973,7 @@ def track_poses_jit(
         "width", "height", "max_points", "criteria", "use_pallas",
         "lift", "window", "stride", "roi", "chunk_iters", "robust_delta",
         "reassociate_every", "scene_stride", "coarse_iters", "coarse_stride",
+        "estimation",
     ),
 )
 def track_poses_nn_jit(
@@ -939,7 +981,7 @@ def track_poses_nn_jit(
     width, height, max_points, criteria, use_pallas,
     lift="window", window=256, stride=2, roi=(0, 0, 0, 0), chunk_iters=8,
     robust_delta=0.0, reassociate_every=1, scene_stride=1,
-    coarse_iters=0, coarse_stride=2,
+    coarse_iters=0, coarse_stride=2, estimation="point_to_plane",
 ):
     """Per-frame NN-scene build FUSED with refinement - the NN twin of
     track_poses_jit. The reference rebuilds Scene_nn on the HOST every
@@ -958,6 +1000,7 @@ def track_poses_nn_jit(
         roi=roi, chunk_iters=chunk_iters, robust_delta=robust_delta,
         reassociate_every=reassociate_every,
         coarse_iters=coarse_iters, coarse_stride=coarse_stride,
+        estimation=estimation,
     )
 
 
