@@ -1,0 +1,224 @@
+"""Temporal pose fusion: an error-state filter on SE(3) (beyond parity).
+
+Closes the loop that `icp.pose_information` / `icp.pose_covariance` open:
+per-frame refinement gives a pose MEASUREMENT with a 6x6 Laplace covariance;
+a tracking loop wants those measurements fused over time - smoothing jitter,
+carrying the pose through bad frames, and rejecting outlier refinements
+(e.g. an ICP that latched onto the wrong basin) by innovation gating. The
+reference has no analog (its tracking story is "feed the refined pose back
+as the next hypothesis", test.cpp usage); this module is the standard
+left-invariant error-state Kalman filter on SE(3), host-side numpy (the
+per-frame work is 6x6 algebra - device dispatch would cost ~1000x the math,
+CLAUDE.md dispatch numbers).
+
+Conventions (matching the refinement pipeline):
+  * poses are model->camera (4, 4) with MILLIMETER translations
+    (pipeline.py rescales the ICP transform to mm before composing).
+  * twists are [omega (rad), t (m)] in the CAMERA frame, applied by LEFT
+    multiplication: pose' = exp(xi) @ pose - exactly the space
+    `pose_information` measures in (icp.py: A-row [p x n, n] twist order).
+  * covariances are 6x6 in that twist space (what `pose_covariance`
+    returns).
+
+The motion model is a pose random walk with per-frame process noise Q;
+constant-velocity or IMU-driven prediction can be layered by calling
+`predict(T_motion, Q)` with an externally predicted increment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_EPS = 1e-9
+# millimeters (library pose convention) <-> meters (twist convention)
+_MM = 1000.0
+
+
+def _skew(w):
+    return np.array(
+        [[0.0, -w[2], w[1]], [w[2], 0.0, -w[0]], [-w[1], w[0], 0.0]],
+        dtype=np.float64,
+    )
+
+
+def se3_exp(xi):
+    """Exact SE(3) exponential map: xi = [omega (rad), t] -> (4, 4).
+
+    Rodrigues rotation + the standard V matrix for the translation
+    (closed-form series for small angles). Unlike geometry.twist_to_mat4
+    (the solver's Rz*Ry*Rx Euler composition, faithful to the reference's
+    icp.cpp:7-17), this is the true exponential - required for the
+    filter's log/exp consistency; the two agree to second order in the
+    small angles the filter handles.
+    """
+    xi = np.asarray(xi, np.float64)
+    w, t = xi[:3], xi[3:]
+    th = float(np.linalg.norm(w))
+    W = _skew(w)
+    if th < 1e-7:
+        R = np.eye(3) + W + 0.5 * (W @ W)
+        V = np.eye(3) + 0.5 * W + (W @ W) / 6.0
+    else:
+        a, b = np.sin(th) / th, (1.0 - np.cos(th)) / (th * th)
+        c = (1.0 - a) / (th * th)
+        R = np.eye(3) + a * W + b * (W @ W)
+        V = np.eye(3) + b * W + c * (W @ W)
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = V @ t
+    return T
+
+
+def se3_log(T):
+    """Exact SE(3) logarithm: (4, 4) -> [omega (rad), t] (inverse of
+    se3_exp; valid for rotation angles < pi)."""
+    T = np.asarray(T, np.float64)
+    R = T[:3, :3]
+    cos = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    th = float(np.arccos(cos))
+    if th < 1e-7:
+        W = 0.5 * (R - R.T)
+        w = np.array([W[2, 1], W[0, 2], W[1, 0]])
+        Vinv = np.eye(3) - 0.5 * W + (W @ W) / 12.0
+    else:
+        if np.pi - th < 1e-6:
+            raise ValueError(
+                f"se3_log: rotation angle {np.degrees(th):.2f} deg too "
+                "close to 180 (log is not unique there)"
+            )
+        W = (th / (2.0 * np.sin(th))) * (R - R.T)
+        w = np.array([W[2, 1], W[0, 2], W[1, 0]])
+        half = th / 2.0
+        # V^-1 closed form
+        Vinv = (
+            np.eye(3)
+            - 0.5 * W
+            + (1.0 - half / np.tan(half)) / (th * th) * (W @ W)
+        )
+    return np.concatenate([w, Vinv @ T[:3, 3]])
+
+
+# chi-square 0.99 quantile, 6 dof - the default innovation gate
+CHI2_6_99 = 16.81
+
+
+class PoseTracker:
+    """Left-invariant error-state Kalman filter over one object's pose.
+
+    Usage in a tracking loop (see scripts/demo_track.py):
+
+        tracker = PoseTracker(first_pose_mm, init_cov=cov0)
+        for frame in frames:
+            tracker.predict()                      # random-walk diffusion
+            refined, results = refiner.track(frame, tracker.hypotheses(n))
+            best = refiner.rank(results)[0]
+            info, s2, _ = icp.pose_information(cloud, valid, scene.query)
+            R = np.asarray(icp.pose_covariance(info, s2))
+            tracker.update(np.asarray(refined)[best], R)
+            pose = tracker.pose_mm                  # fused estimate
+
+    Args:
+      pose_mm:   initial (4, 4) model->camera pose, translation in mm.
+      init_cov:  initial 6x6 twist covariance [rad, m]; defaults to a
+                 diffuse prior (5 deg, 20 mm std).
+      process_noise: per-predict() diffusion - either a full 6x6 Q or a
+                 (rot_std_rad, trans_std_m) pair for isotropic noise;
+                 defaults to (1 deg, 5 mm) per frame.
+    """
+
+    def __init__(self, pose_mm, init_cov=None, process_noise=None):
+        self._T = self._to_m(pose_mm)
+        if init_cov is None:
+            init_cov = np.diag([np.radians(5.0) ** 2] * 3 + [0.02**2] * 3)
+        self.P = np.asarray(init_cov, np.float64).copy()
+        if self.P.shape != (6, 6):
+            raise ValueError(f"init_cov must be 6x6, got {self.P.shape}")
+        if process_noise is None:
+            process_noise = (np.radians(1.0), 0.005)
+        self.Q = self._as_Q(process_noise)
+        self.n_rejected = 0
+
+    @staticmethod
+    def _as_Q(process_noise):
+        q = np.asarray(process_noise, np.float64)
+        if q.shape == (6, 6):
+            return q.copy()
+        if q.shape == (2,):
+            return np.diag([q[0] ** 2] * 3 + [q[1] ** 2] * 3)
+        raise ValueError(
+            "process_noise must be a 6x6 matrix or (rot_std_rad, "
+            f"trans_std_m), got shape {q.shape}"
+        )
+
+    @staticmethod
+    def _to_m(pose_mm):
+        T = np.asarray(pose_mm, np.float64).copy()
+        if T.shape != (4, 4):
+            raise ValueError(f"pose must be (4, 4), got {T.shape}")
+        T[:3, 3] /= _MM
+        return T
+
+    @staticmethod
+    def _to_mm(T):
+        out = T.copy()
+        out[:3, 3] *= _MM
+        return out.astype(np.float32)
+
+    @property
+    def pose_mm(self):
+        """Current fused (4, 4) pose, translation in mm (float32, like the
+        pipeline's poses)."""
+        return self._to_mm(self._T)
+
+    def predict(self, T_motion_mm=None, Q=None):
+        """Time update. Default: pose random walk (state unchanged,
+        covariance grows by Q). Pass T_motion_mm (a LEFT-applied camera-
+        frame increment, mm translation) to inject an external motion
+        prediction - e.g. a constant-velocity extrapolation or odometry -
+        and optionally a per-call Q."""
+        if T_motion_mm is not None:
+            self._T = self._to_m(T_motion_mm) @ self._T
+        self.P = self.P + (self.Q if Q is None else self._as_Q(Q))
+        return self.pose_mm
+
+    def update(self, measured_pose_mm, cov6, gate_chi2=CHI2_6_99):
+        """Measurement update with a refined pose + its 6x6 twist
+        covariance (icp.pose_covariance output). Returns True if the
+        measurement was fused, False if the innovation gate rejected it
+        (pose and covariance then stay at the prediction - the standard
+        defense against a refinement that latched onto a wrong basin).
+        gate_chi2=None disables gating."""
+        R = np.asarray(cov6, np.float64)
+        if R.shape != (6, 6):
+            raise ValueError(f"cov6 must be 6x6, got {R.shape}")
+        T_meas = self._to_m(measured_pose_mm)
+        # innovation: the left twist carrying prediction -> measurement
+        e = se3_log(T_meas @ np.linalg.inv(self._T))
+        S = self.P + R
+        Sinv = np.linalg.inv(S)
+        if gate_chi2 is not None:
+            chi2 = float(e @ Sinv @ e)
+            if chi2 > gate_chi2:
+                self.n_rejected += 1
+                return False
+        K = self.P @ Sinv
+        self._T = se3_exp(K @ e) @ self._T
+        IK = np.eye(6) - K
+        # Joseph form: symmetric + positive-definite under roundoff
+        self.P = IK @ self.P @ IK.T + K @ R @ K.T
+        return True
+
+    def hypotheses(self, n: int, scale: float = 1.0, seed=None):
+        """Sample n pose hypotheses from the current belief - the bridge
+        back into the refiner (replaces geometry.sample_hypotheses' fixed
+        jitter with the filter's own uncertainty; scale widens/narrows).
+        Row 0 is always the mean pose."""
+        rng = np.random.default_rng(seed)
+        # sqrtm via eigh (P is symmetric PSD)
+        lam, U = np.linalg.eigh(self.P)
+        L = U @ np.diag(np.sqrt(np.maximum(lam, 0.0)))
+        out = [self._T]
+        for _ in range(max(0, int(n) - 1)):
+            xi = scale * (L @ rng.standard_normal(6))
+            out.append(se3_exp(xi) @ self._T)
+        return np.stack([self._to_mm(T) for T in out])
