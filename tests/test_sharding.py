@@ -278,3 +278,31 @@ def test_sharded_coarse_schedule_matches_single_device():
         np.asarray(res_s.fitness), np.asarray(res_1.fitness))
     np.testing.assert_array_equal(
         np.asarray(res_s.inlier_rmse), np.asarray(res_1.inlier_rmse))
+
+
+def test_sharded_p2p_estimation_matches_single_device():
+    """estimation='point_to_point' rides through _pipeline_items into the
+    sharded program: class over an 8-device mesh == single-device,
+    bit-for-bit. (The bumpy sphere is p2p-hostile for ACCURACY - sharded
+    parity only needs both paths to run the identical program.)"""
+    m, K, scene_depth, poses = _class_workload(10)
+
+    def build(devices):
+        r = prt.PoseRefiner(m, K=K, width=W, height=H, max_points=4096,
+                            window=64, estimation="point_to_point",
+                            devices=devices)
+        r.set_scene_depth(scene_depth)
+        return r
+
+    sharded = build(devices=8)
+    assert sharded._device_mesh() is not None
+    refined_s, res_s = sharded.refine(poses)
+
+    single = build(devices=1)
+    refined_1, res_1 = single.refine(poses)
+
+    np.testing.assert_array_equal(np.asarray(refined_s), np.asarray(refined_1))
+    np.testing.assert_array_equal(
+        np.asarray(res_s.fitness), np.asarray(res_1.fitness))
+    np.testing.assert_array_equal(
+        np.asarray(res_s.inlier_rmse), np.asarray(res_1.inlier_rmse))
