@@ -15,10 +15,16 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+import zlib  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(0)
+@pytest.fixture()
+def rng(request):
+    # Function-scoped and seeded from the test name: every test draws a
+    # deterministic stream INDEPENDENT of which other tests ran before it
+    # (a shared session rng made assertions depend on suite order).
+    seed = zlib.crc32(request.node.name.encode())
+    return np.random.default_rng(seed)
