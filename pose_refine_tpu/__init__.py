@@ -7,7 +7,14 @@ as one jitted, vmap-batched program per pose batch.
 """
 
 from pose_refine_tpu import geometry  # noqa: F401
-from pose_refine_tpu.mesh import Model, load_ply, make_icosphere, simplify_vertex_clustering  # noqa: F401
+from pose_refine_tpu.mesh import (  # noqa: F401
+    Model,
+    load_obj,
+    load_ply,
+    load_stl,
+    make_icosphere,
+    simplify_vertex_clustering,
+)
 from pose_refine_tpu.geometry import compute_proj, sample_hypotheses, LINEMOD_K  # noqa: F401
 from pose_refine_tpu.ops import (  # noqa: F401
     render,
@@ -28,6 +35,7 @@ from pose_refine_tpu.icp import (  # noqa: F401
     pose_covariance,
 )
 from pose_refine_tpu.scene import SceneProjective, SceneNN, KDTree, build_kdtree  # noqa: F401
+from pose_refine_tpu.utils.fusion import PoseTracker  # noqa: F401
 from pose_refine_tpu.api import PoseRenderer, get_bbox  # noqa: F401
 from pose_refine_tpu.pipeline import (  # noqa: F401
     MultiModelRefiner,

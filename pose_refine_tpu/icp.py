@@ -149,7 +149,7 @@ def _p2p_equations_from_assoc(cloud, valid, dst, nrm, q_valid,
     diff = dst - cloud
     if robust_delta > 0.0:
         r = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
-        w = v * jnp.sqrt(jnp.minimum(1.0, robust_delta / jnp.maximum(r, 1e-12)))
+        w = v * _huber_sqrt_w(r, robust_delta)
     else:
         w = v
     px, py, pz = cloud[:, 0], cloud[:, 1], cloud[:, 2]
@@ -552,7 +552,7 @@ def pose_information(cloud, valid, query_fn: Callable,
         diff = dst - cloud
         if robust_delta > 0.0:
             r = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
-            w2 = v * jnp.minimum(1.0, robust_delta / jnp.maximum(r, 1e-12))
+            w2 = v * _huber_sqrt_w(r, robust_delta) ** 2
         else:
             w2 = v
         rss = jnp.sum(jnp.sum(diff * diff, axis=-1) * w2)
@@ -579,6 +579,7 @@ def pose_covariance(info, sigma2, rel_ridge: float = 1e-6):
     ridge = jnp.maximum(scale * rel_ridge, 1e-30)
     eye = jnp.eye(6, dtype=info.dtype)
     M = info + ridge[..., None, None] * eye
+    sigma2 = jnp.asarray(sigma2, info.dtype)
     return sigma2[..., None, None] * jnp.linalg.inv(M)
 
 

@@ -98,6 +98,19 @@ def se3_log(T):
     return np.concatenate([w, Vinv @ T[:3, 3]])
 
 
+def se3_adjoint(T):
+    """Adjoint of T=(R, t) on twists ordered [omega, v]:
+    Ad (w, v) = (R w, [t]x R w + R v). Transports left-error twists across
+    a left-applied motion: T' = Tm T  =>  e' = Ad_{Tm} e."""
+    T = np.asarray(T, np.float64)
+    R, t = T[:3, :3], T[:3, 3]
+    Ad = np.zeros((6, 6))
+    Ad[:3, :3] = R
+    Ad[3:, 3:] = R
+    Ad[3:, :3] = _skew(t) @ R
+    return Ad
+
+
 # chi-square 0.99 quantile, 6 dof - the default innovation gate
 CHI2_6_99 = 16.81
 
@@ -105,7 +118,7 @@ CHI2_6_99 = 16.81
 class PoseTracker:
     """Left-invariant error-state Kalman filter over one object's pose.
 
-    Usage in a tracking loop (see scripts/demo_track.py):
+    Usage in a tracking loop (measured end-to-end in scripts/fusion_study.py):
 
         tracker = PoseTracker(first_pose_mm, init_cov=cov0)
         for frame in frames:
@@ -128,6 +141,7 @@ class PoseTracker:
 
     def __init__(self, pose_mm, init_cov=None, process_noise=None):
         self._T = self._to_m(pose_mm)
+        self._T_prev = None  # previous frame's estimate (predict_cv)
         if init_cov is None:
             init_cov = np.diag([np.radians(5.0) ** 2] * 3 + [0.02**2] * 3)
         self.P = np.asarray(init_cov, np.float64).copy()
@@ -176,10 +190,42 @@ class PoseTracker:
         frame increment, mm translation) to inject an external motion
         prediction - e.g. a constant-velocity extrapolation or odometry -
         and optionally a per-call Q."""
-        if T_motion_mm is not None:
-            self._T = self._to_m(T_motion_mm) @ self._T
+        Tm = None if T_motion_mm is None else self._to_m(T_motion_mm)
+        return self._predict_m(Tm, Q)
+
+    def _predict_m(self, Tm, Q):
+        """predict() core on a meter-translation motion increment. Every
+        time update advances the one-frame velocity baseline (so coasting
+        through missed measurements keeps a constant velocity, and mixing
+        predict()/predict_cv() stays one-frame consistent)."""
+        self._T_prev = self._T.copy()
+        if Tm is not None:
+            self._T = Tm @ self._T
+            # left-error transport: T' = Tm T  =>  e' = Ad_{Tm} e, so the
+            # covariance conjugates through the motion's adjoint (a pure
+            # random walk has Tm = I and Ad = I)
+            Ad = se3_adjoint(Tm)
+            self.P = Ad @ self.P @ Ad.T
         self.P = self.P + (self.Q if Q is None else self._as_Q(Q))
         return self.pose_mm
+
+    def predict_cv(self, Q=None, decay=1.0):
+        """Constant-velocity time update: re-apply the left increment
+        between the two most recent per-frame estimates (the velocity
+        twist), then diffuse by Q. This is the standard fix for the
+        fast-motion regime where a random-walk predict() forces Q up to
+        the full inter-frame motion and the filter degenerates to a
+        pass-through (scripts/fusion_study.py): with the motion explained
+        by the model, Q only has to cover the ACCELERATION, so the gain
+        stays < 1 and smoothing/gating keep their value.
+
+        decay in [0, 1] shrinks the applied velocity (exp(decay * log(V)));
+        1.0 is pure constant velocity, 0.0 degenerates to the random walk.
+        Falls back to a plain random walk until two frames exist."""
+        if self._T_prev is None:
+            return self._predict_m(None, Q)
+        vel = se3_log(self._T @ np.linalg.inv(self._T_prev))
+        return self._predict_m(se3_exp(decay * vel), Q)
 
     def update(self, measured_pose_mm, cov6, gate_chi2=CHI2_6_99):
         """Measurement update with a refined pose + its 6x6 twist
@@ -193,12 +239,25 @@ class PoseTracker:
             raise ValueError(f"cov6 must be 6x6, got {R.shape}")
         T_meas = self._to_m(measured_pose_mm)
         # innovation: the left twist carrying prediction -> measurement
-        e = se3_log(T_meas @ np.linalg.inv(self._T))
+        try:
+            e = se3_log(T_meas @ np.linalg.inv(self._T))
+        except ValueError:
+            # relative rotation ~180 deg: the log is not unique there, and
+            # such a measurement is the canonical wrong-basin outlier the
+            # gate exists to reject - treat it as an automatic rejection
+            # rather than crashing the tracking loop
+            if gate_chi2 is not None:
+                self.n_rejected += 1
+                return False
+            raise
         S = self.P + R
         Sinv = np.linalg.inv(S)
         if gate_chi2 is not None:
             chi2 = float(e @ Sinv @ e)
-            if chi2 > gate_chi2:
+            # reject-unless-provably-inside: a NaN chi2 (diverged refinement
+            # handing in a non-finite pose) must REJECT, and 'nan > gate' is
+            # False - so test acceptance, not rejection
+            if not (chi2 <= gate_chi2):
                 self.n_rejected += 1
                 return False
         K = self.P @ Sinv
@@ -207,6 +266,38 @@ class PoseTracker:
         # Joseph form: symmetric + positive-definite under roundoff
         self.P = IK @ self.P @ IK.T + K @ R @ K.T
         return True
+
+    def state_dict(self):
+        """Exact filter state as plain arrays (utils.serialization hooks
+        into this for checkpoint/resume of long-lived tracking loops).
+        ``T_m`` is the internal float64 meter-translation pose - full
+        precision, unlike the float32 ``pose_mm`` view."""
+        state = {
+            "T_m": self._T.copy(),
+            "P": self.P.copy(),
+            "Q": self.Q.copy(),
+            "n_rejected": int(self.n_rejected),
+        }
+        if self._T_prev is not None:  # predict_cv velocity baseline
+            state["T_prev"] = self._T_prev.copy()
+        return state
+
+    @classmethod
+    def from_state(cls, state):
+        """Inverse of :meth:`state_dict` (bit-exact resume)."""
+        self = cls.__new__(cls)
+        self._T = np.asarray(state["T_m"], np.float64).copy()
+        self._T_prev = (np.asarray(state["T_prev"], np.float64).copy()
+                        if state.get("T_prev") is not None else None)
+        self.P = np.asarray(state["P"], np.float64).copy()
+        self.Q = np.asarray(state["Q"], np.float64).copy()
+        self.n_rejected = int(state["n_rejected"])
+        if self._T.shape != (4, 4) or self.P.shape != (6, 6) or self.Q.shape != (6, 6):
+            raise ValueError(
+                "PoseTracker state must have T_m (4,4), P (6,6), Q (6,6); "
+                f"got {self._T.shape}, {self.P.shape}, {self.Q.shape}"
+            )
+        return self
 
     def hypotheses(self, n: int, scale: float = 1.0, seed=None):
         """Sample n pose hypotheses from the current belief - the bridge

@@ -18,12 +18,14 @@ from pose_refine_tpu.icp import RegistrationResult
 from pose_refine_tpu.scene.kdtree import KDTree
 from pose_refine_tpu.scene.nn import SceneNN
 from pose_refine_tpu.scene.projective import SceneProjective
+from pose_refine_tpu.utils.fusion import PoseTracker
 
 _KINDS = {
     "SceneProjective": SceneProjective,
     "SceneNN": SceneNN,
     "KDTree": KDTree,
     "RegistrationResult": RegistrationResult,
+    "PoseTracker": PoseTracker,
 }
 
 
@@ -34,7 +36,11 @@ def save(path: str, obj) -> None:
         raise TypeError(f"don't know how to serialize {kind}")
     arrays = {}
     meta = {"kind": kind, "static": {}}
-    if dataclasses.is_dataclass(obj):
+    if kind == "PoseTracker":  # filter state: exact resume of a track
+        state = obj.state_dict()
+        meta["static"]["n_rejected"] = state.pop("n_rejected")
+        arrays = state
+    elif dataclasses.is_dataclass(obj):
         for f in dataclasses.fields(obj):
             v = getattr(obj, f.name)
             if f.metadata.get("static") or isinstance(v, (int, float, str, bool)):
@@ -58,10 +64,12 @@ def load(path: str):
             if name == "__meta__":
                 continue
             arr = z[name]
-            if meta["kind"] == "KDTree":
-                kwargs[name] = arr
+            if meta["kind"] in ("KDTree", "PoseTracker"):
+                kwargs[name] = arr  # host-side numpy objects
             else:
                 kwargs[name] = jnp.asarray(arr)
+    if meta["kind"] == "PoseTracker":
+        return PoseTracker.from_state(kwargs)
     if meta["kind"] in ("KDTree", "SceneNN") and "bbox" in kwargs:
         # artifacts saved before round 3 carry no LEAF bboxes; the kd
         # traversal's far-child pruning needs them (zero boxes would

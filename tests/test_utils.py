@@ -69,6 +69,30 @@ def test_result_roundtrip(tmp_path):
     assert abs(float(back.fitness) - 0.9) < 1e-7
 
 
+def test_pose_tracker_roundtrip(tmp_path, rng):
+    from pose_refine_tpu.utils.fusion import PoseTracker, se3_exp
+
+    pose = np.asarray(se3_exp(rng.normal(0, 0.1, 6)), np.float64)
+    pose[:3, 3] = [10.0, -20.0, 500.0]
+    tracker = PoseTracker(pose.astype(np.float32))
+    tracker.predict()
+    tracker.update(pose.astype(np.float32), np.eye(6) * 1e-4)
+    p = str(tmp_path / "tracker.npz")
+    serialization.save(p, tracker)
+    back = serialization.load(p)
+    # bit-exact resume: internal full-precision state, not the f32 view
+    np.testing.assert_array_equal(back._T, tracker._T)
+    np.testing.assert_array_equal(back.P, tracker.P)
+    np.testing.assert_array_equal(back.Q, tracker.Q)
+    assert back.n_rejected == tracker.n_rejected
+    # the resumed filter behaves identically
+    meas = pose.astype(np.float32)
+    assert back.update(meas, np.eye(6) * 1e-4) == tracker.update(
+        meas, np.eye(6) * 1e-4
+    )
+    np.testing.assert_array_equal(back.pose_mm, tracker.pose_mm)
+
+
 def test_step_timer():
     from pose_refine_tpu.utils.profiling import StepTimer
 
