@@ -54,7 +54,8 @@ class PoseRenderer:
         self.proj_mat = geometry.compute_proj(self.K, self.width, self.height)
 
     def _render_raw(self, poses, down_sample: float = 1.0, roi=(0, 0, 0, 0)):
-        assert self.proj_mat is not None, "call set_K_width_height first"
+        if self.proj_mat is None:  # usage error: must survive python -O
+            raise RuntimeError("call set_K_width_height first")
         w = int(self.width / down_sample)
         h = int(self.height / down_sample)
         poses = jnp.asarray(poses, jnp.float32)

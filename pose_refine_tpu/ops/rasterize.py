@@ -27,7 +27,10 @@ Three paths:
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Optional, Tuple
+
+_warned_pallas_fallback = False
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +44,10 @@ def roi_shape(width: int, height: int, roi: ROI) -> Tuple[int, int]:
     """Output (out_w, out_h) for a render, honoring 0-size = full frame."""
     x, y, w, h = roi
     if w > 0 and h > 0:
-        assert x + w <= width and y + h <= height, "roi out of image"
+        if x + w > width or y + h > height:  # user input: never assert
+            raise ValueError(
+                f"roi {roi} exceeds the {width}x{height} image"
+            )
         return w, h
     return width, height
 
@@ -346,8 +352,23 @@ def render(
             from pose_refine_tpu.ops.rasterize_pallas import rasterize_pallas
 
             return rasterize_pallas(tris, poses, width, height, proj, roi, **kwargs)
-        except Exception:
+        except Exception as e:
             if backend == "pallas":
                 raise
+            # auto mode falls back to the scatter rasterizer, but NOT
+            # silently: on TPU the scatter path is ~an order of magnitude
+            # slower, and a swallowed pallas failure would mask real kernel
+            # bugs as a perf regression. Warn once per process.
+            global _warned_pallas_fallback
+            if not _warned_pallas_fallback and jax.default_backend() != "cpu":
+                # (on CPU the scatter path IS the designed auto choice -
+                # pallas only runs there in interpret mode)
+                _warned_pallas_fallback = True
+                logging.getLogger("pose_refine_tpu").warning(
+                    "pallas rasterizer unavailable (%s: %s) - falling back "
+                    "to the scatter backend (much slower on TPU). Pass "
+                    "backend='pallas' to surface the underlying error.",
+                    type(e).__name__, e,
+                )
             return rasterize_scatter(tris, poses, width, height, proj, roi, **kwargs)
     raise ValueError(f"unknown rasterize backend {backend!r}")

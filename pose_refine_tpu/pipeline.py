@@ -708,14 +708,19 @@ class PoseRefiner:
         last gate sharpens the result. (Beyond-parity feature; the reference
         has one fixed 0.1 m gate, depth_scene.h:9.)"""
         scene = _scene if _scene is not None else self.scene
-        assert scene is not None, "set_scene_depth / set_scene_cloud first"
-        init_arr = np.asarray(init_poses)
-        if init_arr.shape[-2:] != (4, 4):
+        if scene is None:  # usage error: must survive python -O
+            raise RuntimeError("set_scene_depth / set_scene_cloud first")
+        # shape-only validation: np.shape reads the .shape attribute, so a
+        # device-resident batch is NOT pulled to host (np.asarray here would
+        # block on the producing program + pay a tunnel D2H - breaking
+        # refine_async's nothing-blocks contract for chained batches)
+        init_shape = np.shape(init_poses)
+        if init_shape[-2:] != (4, 4):
             raise ValueError(
-                f"init_poses must be (..., 4, 4) model->camera transforms, got {init_arr.shape}"
+                f"init_poses must be (..., 4, 4) model->camera transforms, got {init_shape}"
             )
-        if init_arr.ndim not in (2, 3):
-            raise ValueError(f"init_poses must be (4, 4) or (N, 4, 4), got {init_arr.shape}")
+        if len(init_shape) not in (2, 3):
+            raise ValueError(f"init_poses must be (4, 4) or (N, 4, 4), got {init_shape}")
         if schedule:
             if self.coarse_iters:
                 bad = [int(i) for _, i in schedule if int(i) <= self.coarse_iters]
@@ -837,11 +842,11 @@ class PoseRefiner:
                 "use scene='nn' / 'nn_bruteforce' (flash backend) or "
                 "set_scene_depth + refine"
             )
-        init_arr = np.asarray(init_poses)
-        if init_arr.shape[-2:] != (4, 4) or init_arr.ndim not in (2, 3):
+        init_shape = np.shape(init_poses)  # no host materialization (see refine)
+        if init_shape[-2:] != (4, 4) or len(init_shape) not in (2, 3):
             raise ValueError(
                 f"init_poses must be (4, 4) or (N, 4, 4) model->camera "
-                f"transforms, got {init_arr.shape}"
+                f"transforms, got {init_shape}"
             )
         self._prepare_frame(frame_depth)
         init_poses = jnp.asarray(init_poses, jnp.float32)
@@ -852,11 +857,14 @@ class PoseRefiner:
         projective = self.scene_kind == "projective"
         items = self._pipeline_items(criteria)
         if not projective:
-            if self.scene_voxel_mm > 0.0 and self.scene_stride == 1:
+            if (self.scene_voxel_mm > 0.0 and self.scene_stride == 1
+                    and not getattr(self, "_warned_track_voxel", False)):
                 # voxel downsampling is host work the fused device build
                 # cannot run - dropping it silently would hand the user a
                 # full-resolution scene (~4x the NN cost of the tuned
-                # config they asked for)
+                # config they asked for). Config-constant condition: warn
+                # ONCE, not per tracking frame.
+                self._warned_track_voxel = True
                 logger.warning(
                     "track() builds the NN scene on device and cannot apply "
                     "scene_voxel_mm=%g; set scene_stride (e.g. 2-3 "

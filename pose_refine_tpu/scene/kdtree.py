@@ -88,7 +88,22 @@ def build_kdtree(points, normals, leaf_size: int = 10, backend: str = "auto") ->
     points = np.ascontiguousarray(points, np.float32)
     normals = np.ascontiguousarray(normals, np.float32)
     n = len(points)
-    assert n > 0 and len(normals) == n, "empty cloud or point/normal mismatch"
+    if n == 0:
+        # a sensor-dropout frame (all-zero depth / everything gated) must
+        # fail loudly here, not as an argmax-of-empty deep in the split loop
+        raise ValueError(
+            "build_kdtree: empty cloud - the depth frame produced no valid "
+            "scene points (sensor dropout?); projective scenes tolerate "
+            "such frames, NN scenes cannot be built from them"
+        )
+    if len(normals) != n:
+        raise ValueError(
+            f"build_kdtree: {n} points but {len(normals)} normals"
+        )
+    if leaf_size < 1:
+        # leaf_size=0 never terminates a 1-point node (the single point
+        # ties at the bbox midpoint and re-splits forever)
+        raise ValueError(f"build_kdtree: leaf_size must be >= 1, got {leaf_size}")
 
     if backend in ("auto", "native"):
         from pose_refine_tpu import native

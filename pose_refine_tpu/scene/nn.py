@@ -65,6 +65,14 @@ class SceneNN:
         leaf_size: int = 10,
         backend: str = "kdtree",
     ) -> "SceneNN":
+        if backend not in ("kdtree", "bruteforce", "flash"):
+            # query()'s dispatch falls through to the kd traversal, which on
+            # tunneled TPU runtimes dispatches one program PER while_loop
+            # iteration - a typo'd backend must fail here, not hang there
+            raise ValueError(
+                f"unknown SceneNN backend {backend!r}; "
+                "use 'kdtree', 'bruteforce' or 'flash'"
+            )
         tree = build_kdtree(np.asarray(points), np.asarray(normals), leaf_size)
         # provably sufficient traversal bound: the descend+backtrack walk is a
         # pruned DFS in which each node is `cur` at most 3 times (first entry,

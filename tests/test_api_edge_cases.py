@@ -52,7 +52,7 @@ def test_render_dispatcher_cpu_fallback():
 def test_refiner_requires_scene():
     m = mesh.make_icosphere(radius=30.0, subdivisions=1)
     r = prt.PoseRefiner(m, K=small_K(), width=W, height=H, use_pallas=False)
-    with pytest.raises(AssertionError):
+    with pytest.raises(RuntimeError, match="set_scene"):
         r.refine(np.eye(4, dtype=np.float32))
 
 
@@ -72,5 +72,5 @@ def test_refiner_empty_scene_depth():
 def test_pose_renderer_requires_K():
     m = mesh.make_icosphere(radius=30.0, subdivisions=1)
     r = prt.PoseRenderer(m)
-    with pytest.raises(AssertionError):
+    with pytest.raises(RuntimeError, match="set_K"):
         r.render_depth(np.eye(4, dtype=np.float32))

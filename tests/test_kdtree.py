@@ -321,3 +321,20 @@ def test_nn_matches_scipy_ckdtree():
         )
         # and >99% of indices should be the literal same point
         assert (idx == i_ref).mean() > 0.99, name
+
+
+def test_build_inputs_fail_loudly(rng):
+    """Degenerate inputs raise specific ValueErrors at the entry point -
+    not an argmax-of-empty (all-dropout sensor frame) or an unterminating
+    split loop (leaf_size=0), and not a silent kd fallback for a typo'd
+    backend (the kd traversal hangs tunneled TPU runtimes)."""
+    pts, nrm = random_cloud(rng, n=32)
+    empty = np.zeros((0, 3), np.float32)
+    with pytest.raises(ValueError, match="empty cloud"):
+        build_kdtree(empty, empty)
+    with pytest.raises(ValueError, match="normals"):
+        build_kdtree(pts, nrm[:-1])
+    with pytest.raises(ValueError, match="leaf_size"):
+        build_kdtree(pts, nrm, leaf_size=0)
+    with pytest.raises(ValueError, match="backend"):
+        SceneNN.from_cloud(pts, nrm, backend="brute")
