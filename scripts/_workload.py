@@ -61,11 +61,19 @@ def setup(n_poses: int = 256, seed: int = 0):
 
 
 def scene_render(tris, truth, proj):
-    """The observed scene: a full-res render of the truth pose."""
+    """The observed scene: a full-res render of the truth pose (pallas on
+    TPU - the measured configuration; XLA gather raster on CPU so studies
+    can smoke-test their code paths off-TPU)."""
+    import jax
     import jax.numpy as jnp
 
-    from pose_refine_tpu.ops.rasterize_pallas import rasterize_pallas
     from pose_refine_tpu.utils.sync import sync
+
+    if jax.default_backend() == "cpu":
+        from pose_refine_tpu.ops.rasterize import render
+
+        return np.asarray(sync(render(tris, jnp.asarray(truth)[None], W, H, proj)))[0]
+    from pose_refine_tpu.ops.rasterize_pallas import rasterize_pallas
 
     return np.asarray(
         sync(rasterize_pallas(tris, jnp.asarray(truth)[None], W, H, proj))
