@@ -82,6 +82,9 @@ def test_pose_tracker_roundtrip(tmp_path, rng):
     back = serialization.load(p)
     # bit-exact resume: internal full-precision state, not the f32 view
     np.testing.assert_array_equal(back._T, tracker._T)
+    # predict() advanced the velocity baseline - it must resume too
+    np.testing.assert_array_equal(back._T_prev, tracker._T_prev)
+    assert tracker._T_prev is not None
     np.testing.assert_array_equal(back.P, tracker.P)
     np.testing.assert_array_equal(back.Q, tracker.Q)
     assert back.n_rejected == tracker.n_rejected
