@@ -224,7 +224,14 @@ class PoseTracker:
         Falls back to a plain random walk until two frames exist."""
         if self._T_prev is None:
             return self._predict_m(None, Q)
-        vel = se3_log(self._T @ np.linalg.inv(self._T_prev))
+        try:
+            vel = se3_log(self._T @ np.linalg.inv(self._T_prev))
+        except ValueError:
+            # inter-frame increment ~180 deg (a basin flip fused with
+            # gating disabled): the velocity is not observable there -
+            # degrade to the random walk instead of crashing the loop,
+            # exactly like update()'s gate handles the same ambiguity
+            return self._predict_m(None, Q)
         return self._predict_m(se3_exp(decay * vel), Q)
 
     def update(self, measured_pose_mm, cov6, gate_chi2=CHI2_6_99):
@@ -296,6 +303,10 @@ class PoseTracker:
             raise ValueError(
                 "PoseTracker state must have T_m (4,4), P (6,6), Q (6,6); "
                 f"got {self._T.shape}, {self.P.shape}, {self.Q.shape}"
+            )
+        if self._T_prev is not None and self._T_prev.shape != (4, 4):
+            raise ValueError(
+                f"PoseTracker state T_prev must be (4,4), got {self._T_prev.shape}"
             )
         return self
 

@@ -440,3 +440,34 @@ def test_tracker_refiner_integration_loop(rng):
     assert max(errs) < 4.0, f"tracking errors {errs}"
     t_err = np.abs(tracker.pose_mm[:3, 3] - truth[:3, 3]).max()
     assert t_err < 6.0, f"translation off by {t_err} mm"
+
+
+def test_predict_cv_survives_180_deg_increment(rng):
+    """A basin flip fused with gating disabled leaves a ~180-deg one-frame
+    increment; the next predict_cv must degrade to a random walk (velocity
+    unobservable at the log's branch point), not crash the loop."""
+    truth = _random_pose_mm(rng)
+    tracker = PoseTracker(truth, init_cov=np.eye(6) * 1e-4,
+                          process_noise=np.zeros((6, 6)))
+    # 90-deg motion in predict + a 90-deg fused correction composes to a
+    # one-frame increment of EXACTLY 180 deg from the baseline, while
+    # update()'s own innovation stays well below the log's branch point
+    yaw90 = se3_exp([np.pi / 2, 0.0, 0.0, 0.0, 0.0, 0.0])
+    tracker.predict(T_motion_mm=yaw90)  # baseline = truth, pure rotation
+    m = se3_exp([np.pi, 0.0, 0.0, 0.0, 0.0, 0.0]) @ tracker._to_m(truth)
+    m_mm = m.copy()
+    m_mm[:3, 3] *= 1000.0
+    assert tracker.update(m_mm, np.eye(6) * 1e-14, gate_chi2=None)
+    before = tracker._T.copy()
+    tracker.predict_cv()  # must not raise
+    np.testing.assert_allclose(tracker._T, before, atol=1e-12)
+
+
+def test_from_state_validates_t_prev():
+    truth = np.eye(4, dtype=np.float32)
+    truth[2, 3] = 300.0
+    tracker = PoseTracker(truth)
+    state = tracker.state_dict()
+    state["T_prev"] = np.zeros((3, 4))
+    with pytest.raises(ValueError, match="T_prev"):
+        PoseTracker.from_state(state)
