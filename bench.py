@@ -368,5 +368,39 @@ def main():
     )
 
 
+def _probe_backend(timeout_s: float = 150.0) -> bool:
+    """Fail FAST if the TPU tunnel is wedged (observed: backend init can
+    hang for hours - CLAUDE.md). Runs a 1-element compute + D2H readback
+    in a SUBPROCESS (in-process jax init cannot be timed out) and kills it
+    on timeout. Returns True when the backend is usable."""
+    import subprocess
+
+    code = (
+        "import jax.numpy as jnp\n"
+        "from pose_refine_tpu.utils.sync import sync\n"
+        "sync((jnp.ones((8, 8)) @ jnp.ones((8, 8))).sum())\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, cwd="/root/repo",
+        )
+        if r.returncode == 0:
+            return True
+        sys.stderr.write(
+            f"# bench: backend probe FAILED (exit {r.returncode}):\n"
+            f"{r.stderr.decode()[-500:]}\n"
+        )
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(
+            f"# bench: backend probe TIMED OUT after {timeout_s:.0f}s - the "
+            "TPU tunnel is wedged (known failure mode, CLAUDE.md). Refusing "
+            "to hang; re-run when the tunnel recovers.\n"
+        )
+    return False
+
+
 if __name__ == "__main__":
+    if not _probe_backend():
+        sys.exit(3)
     main()
