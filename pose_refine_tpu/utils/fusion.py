@@ -234,13 +234,24 @@ class PoseTracker:
             return self._predict_m(None, Q)
         return self._predict_m(se3_exp(decay * vel), Q)
 
-    def update(self, measured_pose_mm, cov6, gate_chi2=CHI2_6_99):
+    def update(self, measured_pose_mm, cov6, gate_chi2=CHI2_6_99,
+               max_innovation=None):
         """Measurement update with a refined pose + its 6x6 twist
         covariance (icp.pose_covariance output). Returns True if the
         measurement was fused, False if the innovation gate rejected it
         (pose and covariance then stay at the prediction - the standard
         defense against a refinement that latched onto a wrong basin).
-        gate_chi2=None disables gating."""
+        gate_chi2=None disables gating.
+
+        max_innovation: optional (rot_rad, trans_m) HARD cap on the
+        innovation twist, rejecting regardless of the claimed covariance.
+        The chi-square gate trusts cov6; a refinement that failed on a
+        degraded frame reports an INFLATED covariance from that same
+        frame, which widens its own gate (measured: a 21 mm translation
+        slip gate-passed in scripts/fusion_study.py's fast regime). The
+        hard cap is the physical-limits backstop, complementing the
+        statistical gate the way the reference's 0.1 m association gate
+        complements robust weighting."""
         R = np.asarray(cov6, np.float64)
         if R.shape != (6, 6):
             raise ValueError(f"cov6 must be 6x6, got {R.shape}")
@@ -253,10 +264,18 @@ class PoseTracker:
             # such a measurement is the canonical wrong-basin outlier the
             # gate exists to reject - treat it as an automatic rejection
             # rather than crashing the tracking loop
-            if gate_chi2 is not None:
+            if gate_chi2 is not None or max_innovation is not None:
                 self.n_rejected += 1
                 return False
             raise
+        if max_innovation is not None:
+            rot_cap, trans_cap = max_innovation
+            rot_mag = float(np.linalg.norm(e[:3]))
+            trans_mag = float(np.linalg.norm(e[3:]))
+            # reject-unless-provably-inside (NaN-safe, like the chi2 gate)
+            if not (rot_mag <= rot_cap and trans_mag <= trans_cap):
+                self.n_rejected += 1
+                return False
         S = self.P + R
         Sinv = np.linalg.inv(S)
         if gate_chi2 is not None:

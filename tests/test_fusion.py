@@ -471,3 +471,31 @@ def test_from_state_validates_t_prev():
     state["T_prev"] = np.zeros((3, 4))
     with pytest.raises(ValueError, match="T_prev"):
         PoseTracker.from_state(state)
+
+
+def test_max_innovation_hard_cap_catches_inflated_covariance(rng):
+    """A failed refinement on a degraded frame reports an INFLATED
+    covariance from that same frame, widening its own chi-square gate
+    (measured in the fusion study: a 21 mm slip gate-passed). The hard
+    physical cap rejects it regardless of the claimed covariance."""
+    truth = _random_pose_mm(rng)
+    P0 = np.diag([np.radians(0.5) ** 2] * 3 + [0.002**2] * 3)
+    tracker = PoseTracker(truth, init_cov=P0, process_noise=np.zeros((6, 6)))
+    # outlier: 20 deg / 30 mm off, claiming a huge (1 rad, 0.3 m) noise
+    bad = se3_exp([0.35, 0.0, 0.0, 0.0, 0.03, 0.0]) @ tracker._to_m(truth)
+    bad[:3, 3] *= 1000.0
+    R_inflated = np.diag([1.0] * 3 + [0.09] * 3)
+    # the chi-square gate ALONE is fooled (S is dominated by R_inflated)
+    probe = PoseTracker(truth, init_cov=P0, process_noise=np.zeros((6, 6)))
+    assert probe.update(bad.astype(np.float32), R_inflated)
+    # the hard cap is not
+    cap = (np.radians(10.0), 0.010)
+    assert not tracker.update(bad.astype(np.float32), R_inflated,
+                              max_innovation=cap)
+    assert tracker.n_rejected == 1
+    # a sane measurement still fuses under the same cap
+    assert tracker.update(truth, P0, max_innovation=cap)
+    # and the cap works with the chi-square gate disabled
+    solo = PoseTracker(truth, init_cov=P0, process_noise=np.zeros((6, 6)))
+    assert not solo.update(bad.astype(np.float32), R_inflated,
+                           gate_chi2=None, max_innovation=cap)
