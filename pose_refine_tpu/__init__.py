@@ -33,6 +33,7 @@ from pose_refine_tpu.icp import (  # noqa: F401
     icp_point_to_point,
     pose_information,
     pose_covariance,
+    PoseUncertainty,
 )
 from pose_refine_tpu.scene import SceneProjective, SceneNN, KDTree, build_kdtree  # noqa: F401
 from pose_refine_tpu.utils.fusion import PoseTracker  # noqa: F401

@@ -60,6 +60,21 @@ class RegistrationResult(NamedTuple):
     n_points: jnp.ndarray = None
 
 
+class PoseUncertainty(NamedTuple):
+    """Per-pose Laplace/Gauss-Newton uncertainty (beyond parity; the
+    reference's results carry only fitness/rmse, icp.h:26-36). Produced
+    in-program by the fused pipeline (`refine(..., with_covariance=True)`)
+    from one extra association pass at the FINAL cloud - the standalone
+    `pose_information` path costs ~20 eager dispatches (~0.9 s/frame) on
+    tunneled runtimes. Twist order [omega, t] in [rad, m] (icp.h:157-163).
+    All fields are arrays, so the batched result is a pytree."""
+
+    information: jnp.ndarray  # (..., 6, 6) J^T J (unscaled)
+    sigma2: jnp.ndarray       # (...,) unbiased residual variance
+    count: jnp.ndarray        # (...,) inlier count
+    covariance: jnp.ndarray   # (..., 6, 6) sigma2 * inv(info + rel ridge)
+
+
 class _State(NamedTuple):
     cloud: jnp.ndarray
     T: jnp.ndarray

@@ -56,11 +56,15 @@ def pad_to_devices(n_devices: int, init_poses, tris=None):
     return poses, tris, n
 
 
-def unpad_results(n: int, refined, results):
-    """Drop padded rows appended by pad_to_devices (no-op when unpadded)."""
+def unpad_results(n: int, refined, *rest):
+    """Drop padded rows appended by pad_to_devices (no-op when unpadded).
+    Accepts any number of batched result pytrees (RegistrationResult,
+    PoseUncertainty, ...) after the refined poses."""
     if refined.shape[0] == n:
-        return refined, results
-    return refined[:n], jax.tree.map(lambda x: x[:n], results)
+        return (refined,) + rest
+    return (refined[:n],) + tuple(
+        jax.tree.map(lambda x: x[:n], r) for r in rest
+    )
 
 
 def shard_pose_batch(mesh: Mesh, init_poses, axis: str = "dp"):
@@ -114,10 +118,11 @@ def refine_poses_sharded(
     )
     poses_p, tris_p, n = pad_to_devices(mesh.size, init_poses, tris)
     poses_sharded = shard_pose_batch(mesh, poses_p, axis)
-    refined, results = fn(
+    out = fn(
         tris_p, poses_sharded, scene, jnp.asarray(proj), jnp.asarray(K, jnp.float32)
     )
-    return unpad_results(n, refined, results)
+    # 2-tuple (refined, results), or 3 with with_information=True
+    return unpad_results(n, *out)
 
 
 @functools.lru_cache(maxsize=32)
@@ -169,6 +174,23 @@ def _sharded_fn(
         if kind == "track_nn":
             in_shardings = in_shardings + (repl,)        # scene Morton perm
 
+    out_shardings = (
+        pose_sh,
+        icp.RegistrationResult(
+            transformation=pose_sh,
+            fitness=shard,
+            inlier_rmse=shard,
+            n_points=shard,
+        ),
+    )
+    if dict(pipeline_items).get("with_information"):
+        # the appended PoseUncertainty batch shards with its poses
+        out_shardings = out_shardings + (
+            icp.PoseUncertainty(
+                information=pose_sh, sigma2=shard, count=shard,
+                covariance=pose_sh,
+            ),
+        )
     return jax.jit(
         functools.partial(
             fn,
@@ -180,13 +202,5 @@ def _sharded_fn(
             **dict(pipeline_items),
         ),
         in_shardings=in_shardings,
-        out_shardings=(
-            pose_sh,
-            icp.RegistrationResult(
-                transformation=pose_sh,
-                fitness=shard,
-                inlier_rmse=shard,
-                n_points=shard,
-            ),
-        ),
+        out_shardings=out_shardings,
     )

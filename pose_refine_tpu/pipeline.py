@@ -48,6 +48,7 @@ def _scene_with_gate(scene, max_dist: float):
         "width", "height", "max_points", "criteria", "use_pallas",
         "lift", "window", "stride", "roi", "chunk_iters", "robust_delta",
         "reassociate_every", "coarse_iters", "coarse_stride", "estimation",
+        "with_information",
     ),
 )
 def refine_poses_jit(
@@ -71,6 +72,7 @@ def refine_poses_jit(
     coarse_iters: int = 0,
     coarse_stride: int = 2,
     estimation: str = "point_to_plane",
+    with_information: bool = False,
 ):
     """The fused program: render N poses, lift to clouds, run batched ICP.
 
@@ -78,6 +80,11 @@ def refine_poses_jit(
     refined = T_icp @ init (the ICP transform acts on camera-space points,
     so it left-composes onto the model->camera pose; its translation is
     rescaled from meters to the pose's millimeters).
+
+    with_information=True appends an icp.PoseUncertainty batch computed at
+    the FINAL clouds inside the same program (one extra association pass -
+    ~1/30th of the ICP cost - vs ~20 eager dispatches for the standalone
+    icp.pose_information on tunneled runtimes).
     """
     if use_pallas:
         from pose_refine_tpu.ops.rasterize_pallas import rasterize_pallas
@@ -151,7 +158,19 @@ def refine_poses_jit(
     # before left-composing onto the model->camera pose.
     T_mm = results.transformation.at[:, :3, 3].multiply(1000.0)
     refined = jnp.matmul(T_mm, init_poses, precision=jax.lax.Precision.HIGHEST)
-    return refined, results
+    if not with_information:
+        return refined, results
+    # one extra association pass at the FINAL (already transformed) clouds
+    # returned by the ICP loop - the same J rows the last solve used
+    def one_info(cloud, valid):
+        return icp.pose_information(
+            cloud, valid, scene.query,
+            robust_delta=robust_delta, estimation=estimation,
+        )
+
+    info, sigma2, count = jax.vmap(one_info)(_clouds, valids)
+    cov = icp.pose_covariance(info, sigma2)
+    return refined, results, icp.PoseUncertainty(info, sigma2, count, cov)
 
 
 class PendingResult:
@@ -163,28 +182,38 @@ class PendingResult:
 
     Call :meth:`wait` (or :func:`fence` over many) to synchronize."""
 
-    __slots__ = ("refined", "results")
+    __slots__ = ("refined", "results", "uncertainty")
 
-    def __init__(self, refined, results):
+    def __init__(self, refined, results, uncertainty=None):
         self.refined = refined
         self.results = results
+        self.uncertainty = uncertainty  # PoseUncertainty when requested
+
+    def _tuple(self):
+        if self.uncertainty is None:
+            return self.refined, self.results
+        return self.refined, self.results, self.uncertainty
 
     def wait(self):
-        """Fence this batch; returns (refined_poses, results)."""
+        """Fence this batch; returns (refined_poses, results) plus the
+        PoseUncertainty batch when the refinement requested it."""
         from pose_refine_tpu.utils.sync import sync
 
-        sync((self.refined, self.results))
-        return self.refined, self.results
+        out = self._tuple()
+        sync(out)
+        return out
 
 
 def fence(*pending: "PendingResult"):
     """Fence any number of in-flight batches with ONE probe (a per-batch
     wait would pay one device round-trip each). Returns a list of
-    (refined, results) in argument order."""
+    (refined, results) (plus uncertainty where requested) in argument
+    order."""
     from pose_refine_tpu.utils.sync import sync
 
-    sync([(p.refined, p.results) for p in pending])
-    return [(p.refined, p.results) for p in pending]
+    out = [p._tuple() for p in pending]
+    sync(out)
+    return out
 
 
 class PoseRefiner:
@@ -696,6 +725,7 @@ class PoseRefiner:
         init_poses,
         criteria: icp.ICPConvergenceCriteria = icp.ICPConvergenceCriteria(),
         schedule=None,
+        with_covariance: bool = False,
         _scene=None,
         _tris=None,
     ):
@@ -706,7 +736,15 @@ class PoseRefiner:
         Each level re-renders at the current estimates and runs ICP with that
         inlier gate; a loose first gate widens the convergence basin, a tight
         last gate sharpens the result. (Beyond-parity feature; the reference
-        has one fixed 0.1 m gate, depth_scene.h:9.)"""
+        has one fixed 0.1 m gate, depth_scene.h:9.)
+
+        with_covariance=True appends an icp.PoseUncertainty batch (Laplace
+        covariance per pose, twist order [omega, t] in [rad, m]) computed
+        INSIDE the fused program - the input PoseTracker.update expects,
+        at ~1/30th of an extra ICP's cost instead of the ~20 eager
+        dispatches the standalone icp.pose_information path pays on
+        tunneled runtimes. With schedule=, only the last level computes it
+        (the uncertainty of the final fit)."""
         scene = _scene if _scene is not None else self.scene
         if scene is None:  # usage error: must survive python -O
             raise RuntimeError("set_scene_depth / set_scene_cloud first")
@@ -736,11 +774,11 @@ class PoseRefiner:
                         f"the cloud inside each ICP run)."
                     )
             poses = init_poses
-            for max_dist, iters in schedule:
+            for level, (max_dist, iters) in enumerate(schedule):
                 # explicit base-class call: subclass overrides (e.g.
                 # MultiModelRefiner's (model_ids, poses) signature) must not
                 # capture the recursion - _tris already carries their state
-                poses, results = PoseRefiner.refine(
+                out = PoseRefiner.refine(
                     self,
                     poses,
                     criteria=icp.ICPConvergenceCriteria(
@@ -748,15 +786,22 @@ class PoseRefiner:
                         criteria.relative_rmse,
                         int(iters),
                     ),
+                    with_covariance=(
+                        with_covariance and level == len(schedule) - 1
+                    ),
                     _scene=_scene_with_gate(scene, max_dist),
                     _tris=_tris,
                 )
-            return poses, results
+                poses, results = out[0], out[1]
+            return out
         init_poses = jnp.asarray(init_poses, jnp.float32)
         squeeze = init_poses.ndim == 2
         if squeeze:
             init_poses = init_poses[None]
         tris = jnp.asarray(self.tris if _tris is None else _tris)
+        items = self._pipeline_items(criteria)
+        if with_covariance:
+            items = items + (("with_information", True),)
         mesh = self._device_mesh()
         if mesh is not None:
             # multi-chip: the identical fused program with the pose batch
@@ -767,17 +812,17 @@ class PoseRefiner:
             fn = _sh._sharded_fn(
                 "refine", mesh, "dp", self.render_w, self.render_h,
                 self.max_points, criteria, self.use_pallas,
-                jax.tree.structure(scene), self._pipeline_items(criteria),
+                jax.tree.structure(scene), items,
                 tris_per_pose=tris.ndim == 4,
             )
             poses_p, tris_p, n = _sh.pad_to_devices(mesh.size, init_poses, tris)
-            refined, results = fn(
+            out = fn(
                 tris_p, _sh.shard_pose_batch(mesh, poses_p), scene,
                 jnp.asarray(self.proj), jnp.asarray(self.K_render),
             )
-            refined, results = _sh.unpad_results(n, refined, results)
+            out = _sh.unpad_results(n, *out)
         else:
-            refined, results = refine_poses_jit(
+            out = refine_poses_jit(
                 tris,
                 init_poses,
                 scene,
@@ -790,13 +835,12 @@ class PoseRefiner:
                 self.use_pallas,
                 # single source of truth with the sharded path (the cached
                 # _sharded_fn partials over the same item tuple)
-                **dict(self._pipeline_items(criteria)),
+                **dict(items),
             )
-        self._warn_if_saturated(results)
+        self._warn_if_saturated(out[1])
         if squeeze:
-            refined = refined[0]
-            results = jax.tree.map(lambda x: x[0], results)
-        return refined, results
+            out = tuple(jax.tree.map(lambda x: x[0], o) for o in out)
+        return out if with_covariance else (out[0], out[1])
 
     def refine_async(
         self,
@@ -813,16 +857,17 @@ class PoseRefiner:
         check = self._check_saturation
         self._check_saturation = False
         try:
-            refined, results = self.refine(init_poses, criteria, **kwargs)
+            out = self.refine(init_poses, criteria, **kwargs)
         finally:
             self._check_saturation = check
-        return PendingResult(refined, results)
+        return PendingResult(*out)
 
     def track(
         self,
         frame_depth,
         init_poses,
         criteria: icp.ICPConvergenceCriteria = icp.ICPConvergenceCriteria(),
+        with_covariance: bool = False,
         _tris=None,
     ):
         """One tracking step: rebuild the scene from this frame's depth AND
@@ -835,7 +880,11 @@ class PoseRefiner:
         'nn_kdtree' cannot fuse (kd builds are inherently host work) - use
         set_scene_depth + refine there. Does not touch self.scene.
 
-        Returns (refined (N, 4, 4), RegistrationResult)."""
+        Returns (refined (N, 4, 4), RegistrationResult);
+        with_covariance=True appends an icp.PoseUncertainty batch computed
+        in the same program (see refine) - one fused dispatch per tracked
+        frame covers scene build + refine + measurement covariance, the
+        full PoseTracker.update input."""
         if self.scene_kind == "nn_kdtree":
             raise ValueError(
                 "track() cannot fuse a kd-tree scene build (host work); "
@@ -856,6 +905,8 @@ class PoseRefiner:
         tris = jnp.asarray(self.tris if _tris is None else _tris)
         projective = self.scene_kind == "projective"
         items = self._pipeline_items(criteria)
+        if with_covariance:
+            items = items + (("with_information", True),)
         if not projective:
             if (self.scene_voxel_mm > 0.0 and self.scene_stride == 1
                     and not getattr(self, "_warned_track_voxel", False)):
@@ -900,8 +951,8 @@ class PoseRefiner:
             )
             if not projective:
                 args = args + (perm,)
-            refined, results = fn(*args)
-            refined, results = _sh.unpad_results(n, refined, results)
+            out = fn(*args)
+            out = _sh.unpad_results(n, *out)
         else:
             fn = track_poses_jit if projective else track_poses_nn_jit
             args = (
@@ -915,7 +966,7 @@ class PoseRefiner:
             )
             if not projective:
                 args = args + (perm,)
-            refined, results = fn(
+            out = fn(
                 *args,
                 self.render_w,
                 self.render_h,
@@ -924,11 +975,10 @@ class PoseRefiner:
                 self.use_pallas,
                 **dict(items),
             )
-        self._warn_if_saturated(results)
+        self._warn_if_saturated(out[1])
         if squeeze:
-            refined = refined[0]
-            results = jax.tree.map(lambda x: x[0], results)
-        return refined, results
+            out = tuple(jax.tree.map(lambda x: x[0], o) for o in out)
+        return out if with_covariance else (out[0], out[1])
 
     @staticmethod
     def rank(results: icp.RegistrationResult):
@@ -948,6 +998,7 @@ class PoseRefiner:
         "width", "height", "max_points", "criteria", "use_pallas",
         "lift", "window", "stride", "roi", "chunk_iters", "robust_delta",
         "reassociate_every", "coarse_iters", "coarse_stride", "estimation",
+        "with_information",
     ),
 )
 def track_poses_jit(
@@ -955,7 +1006,7 @@ def track_poses_jit(
     width, height, max_points, criteria, use_pallas,
     lift="window", window=256, stride=2, roi=(0, 0, 0, 0), chunk_iters=8,
     robust_delta=0.0, reassociate_every=1, coarse_iters=0, coarse_stride=2,
-    estimation="point_to_plane",
+    estimation="point_to_plane", with_information=False,
 ):
     """Per-frame scene build FUSED with refinement: one program per frame.
 
@@ -971,7 +1022,7 @@ def track_poses_jit(
         roi=roi, chunk_iters=chunk_iters, robust_delta=robust_delta,
         reassociate_every=reassociate_every,
         coarse_iters=coarse_iters, coarse_stride=coarse_stride,
-        estimation=estimation,
+        estimation=estimation, with_information=with_information,
     )
 
 
@@ -981,7 +1032,7 @@ def track_poses_jit(
         "width", "height", "max_points", "criteria", "use_pallas",
         "lift", "window", "stride", "roi", "chunk_iters", "robust_delta",
         "reassociate_every", "scene_stride", "coarse_iters", "coarse_stride",
-        "estimation",
+        "estimation", "with_information",
     ),
 )
 def track_poses_nn_jit(
@@ -990,6 +1041,7 @@ def track_poses_nn_jit(
     lift="window", window=256, stride=2, roi=(0, 0, 0, 0), chunk_iters=8,
     robust_delta=0.0, reassociate_every=1, scene_stride=1,
     coarse_iters=0, coarse_stride=2, estimation="point_to_plane",
+    with_information=False,
 ):
     """Per-frame NN-scene build FUSED with refinement - the NN twin of
     track_poses_jit. The reference rebuilds Scene_nn on the HOST every
@@ -1008,7 +1060,7 @@ def track_poses_nn_jit(
         roi=roi, chunk_iters=chunk_iters, robust_delta=robust_delta,
         reassociate_every=reassociate_every,
         coarse_iters=coarse_iters, coarse_stride=coarse_stride,
-        estimation=estimation,
+        estimation=estimation, with_information=with_information,
     )
 
 
@@ -1084,21 +1136,22 @@ class MultiModelRefiner(PoseRefiner):
         return tris, init_poses, squeeze
 
     @staticmethod
-    def _maybe_squeeze(squeeze, refined, results):
+    def _maybe_squeeze(squeeze, out):
+        """Unbatch a (refined, results[, uncertainty]) tuple."""
         if squeeze:
-            refined = refined[0]
-            results = jax.tree.map(lambda x: x[0], results)
-        return refined, results
+            out = tuple(jax.tree.map(lambda x: x[0], o) for o in out)
+        return out
 
     def refine(self, model_ids, init_poses=None, **kwargs):
         """(model_ids (N,), init_poses (N, 4, 4)) -> refined + results.
         A single (4, 4) pose with a scalar id returns unbatched results,
-        matching PoseRefiner.refine."""
+        matching PoseRefiner.refine (incl. with_covariance=True's appended
+        PoseUncertainty)."""
         if init_poses is None:
             raise TypeError("MultiModelRefiner.refine(model_ids, init_poses)")
         tris, poses, squeeze = self._per_pose_tris(model_ids, init_poses)
-        refined, results = super().refine(poses, _tris=tris, **kwargs)
-        return self._maybe_squeeze(squeeze, refined, results)
+        out = super().refine(poses, _tris=tris, **kwargs)
+        return self._maybe_squeeze(squeeze, out)
 
     def track(self, frame_depth, model_ids, init_poses=None, **kwargs):
         """Fused per-frame tracking with per-pose models:
@@ -1108,5 +1161,5 @@ class MultiModelRefiner(PoseRefiner):
                 "MultiModelRefiner.track(frame_depth, model_ids, init_poses)"
             )
         tris, poses, squeeze = self._per_pose_tris(model_ids, init_poses)
-        refined, results = super().track(frame_depth, poses, _tris=tris, **kwargs)
-        return self._maybe_squeeze(squeeze, refined, results)
+        out = super().track(frame_depth, poses, _tris=tris, **kwargs)
+        return self._maybe_squeeze(squeeze, out)

@@ -123,12 +123,17 @@ class PoseTracker:
         tracker = PoseTracker(first_pose_mm, init_cov=cov0)
         for frame in frames:
             tracker.predict()                      # random-walk diffusion
-            refined, results = refiner.track(frame, tracker.hypotheses(n))
-            best = refiner.rank(results)[0]
-            info, s2, _ = icp.pose_information(cloud, valid, scene.query)
-            R = np.asarray(icp.pose_covariance(info, s2))
-            tracker.update(np.asarray(refined)[best], R)
+            refined, results, unc = refiner.track(
+                frame, tracker.hypotheses(n), with_covariance=True)
+            best = refiner.rank(results)[0]        # unc: icp.PoseUncertainty,
+            tracker.update(np.asarray(refined)[best],   # fused in-program
+                           np.asarray(unc.covariance)[best])
             pose = tracker.pose_mm                  # fused estimate
+
+    (The standalone icp.pose_information/pose_covariance pair computes the
+    same 6x6 R outside the pipeline - at ~20 eager dispatches per frame on
+    tunneled runtimes; with_covariance=True folds it into the one fused
+    program, scripts/fusion_study.py measures both.)
 
     Args:
       pose_mm:   initial (4, 4) model->camera pose, translation in mm.

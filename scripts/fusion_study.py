@@ -22,6 +22,11 @@ frames/seeds:
   raw    - best-ranked refined hypothesis fed straight back (the demo loop)
   fused  - PoseTracker: per-frame pose_covariance as measurement noise,
            chi-square innovation gate, belief-mean fed back as the prior
+  fused-inprog - same filter, but the per-frame covariance comes FUSED out
+           of refine(with_covariance=True) (one program; the standalone
+           pose_information path costs ~20 eager dispatches/frame on the
+           tunnel). Its R is the ICP's own final-cloud covariance rather
+           than the probe-cloud one - the production deployment mode.
   fused-fixcov - same but with the frame-0 covariance reused (no per-frame
            pose_information dispatch - the cheap deployment mode)
   fused-cv - constant-velocity prediction (predict_cv) with process noise
@@ -131,18 +136,28 @@ def run_track(mode):
         prior = estimate if tracker is None else tracker.pose_mm
         hyps = geometry.sample_hypotheses(
             prior, N_HYP, rot_deg=np.degrees(0.02), trans_mm=3.0, rng=rng)
-        refined, res = refiner.refine(hyps)
-        best = np.asarray(refined)[prt.PoseRefiner.rank(res)[0]]
+        inprog = mode == "fused-inprog"
+        if inprog:
+            refined, res, unc = refiner.refine(hyps, with_covariance=True)
+        else:
+            refined, res = refiner.refine(hyps)
+        best_idx = prt.PoseRefiner.rank(res)[0]
+        best = np.asarray(refined)[best_idx]
+
+        def frame_cov():
+            if inprog:
+                return np.asarray(unc.covariance, np.float64)[best_idx]
+            return measurement_cov(best)
 
         if mode == "raw":
             estimate = best
         elif tracker is None:
             proc = PROC_CV if mode == "fused-cv" else PROC
             tracker = PoseTracker(best, process_noise=proc)
-            fix_cov = measurement_cov(best)
+            fix_cov = None if inprog else measurement_cov(best)
             estimate = tracker.pose_mm
         else:
-            cov = fix_cov if mode == "fused-fixcov" else measurement_cov(best)
+            cov = fix_cov if mode == "fused-fixcov" else frame_cov()
             if not tracker.update(best, cov):
                 rejected += 1
             estimate = tracker.pose_mm
@@ -158,8 +173,8 @@ print("backend:", jax.default_backend(),
       f"{np.degrees(JIT_ROT):.1f} deg/{JIT_T:g} mm; "
       f"{N_FRAMES} frames, sigma {SIGMA_MM} mm + {HOLES:.0%} holes, "
       f"every {CORRUPT_EVERY}th frame 80% holes + {SIGMA_MM*10:.0f} mm)")
-modes = ("raw", "fused", "fused-fixcov", "fused-cv") if FAST else (
-    "raw", "fused", "fused-fixcov")
+modes = ("raw", "fused", "fused-inprog", "fused-fixcov", "fused-cv") if FAST else (
+    "raw", "fused", "fused-inprog", "fused-fixcov")
 for mode in modes:
     t0 = time.time()
     er, et, rej = run_track(mode)
