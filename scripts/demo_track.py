@@ -7,12 +7,18 @@ re-inits its scene every frame too, SURVEY 3.3 - our warm rebuild is
 refined. Static shapes mean frame 2+ hits the compile cache - the loop
 runs at steady-state latency.
 
-Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/demo_track.py [nn] [coarse]
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/demo_track.py [nn] [coarse] [fused]
   'nn' tracks with the fused ON-DEVICE NN scene build
   (SceneNN.from_depth_device + flash association) instead of projective.
   'coarse' opts into the coarse-to-fine ICP point schedule (c=16, s=4) -
   the LOW-RISK place for it: the tracking prior is within a few degrees,
   so the borderline-basin flips the headline study gates on cannot arise.
+  'fused' runs the full production filter loop: PoseTracker.predict ->
+  track(with_covariance=True) -> update, still ONE device dispatch per
+  frame (the measurement covariance comes fused out of the program). On
+  this demo's white-noise motion the filter is correctly a pass-through
+  (K ~= 1; scripts/fusion_study.py measures the regimes where it pays) -
+  the point here is the loop shape and its cost parity with raw tracking.
 """
 import sys
 import time
@@ -32,6 +38,7 @@ N_HYP = 16      # tracking needs few hypotheses - the prior is good
 N_FRAMES = 30
 NN = "nn" in sys.argv[1:]
 COARSE = "coarse" in sys.argv[1:]
+FUSED = "fused" in sys.argv[1:]
 model, tris, K, proj, truth0, _ = setup(4)
 
 refiner = prt.PoseRefiner(model, K=K, width=640, height=480, render_scale=2,
@@ -45,6 +52,10 @@ refiner = prt.PoseRefiner(model, K=K, width=640, height=480, render_scale=2,
 rng = np.random.default_rng(3)
 truth = truth0.copy()
 estimate = truth0.copy()   # perfect init on frame 0
+# random-walk process noise sized to the actual per-frame motion (2 deg /
+# 5 mm): honest for this white-noise drift - see the study for predict_cv
+tracker = prt.PoseTracker(truth0, process_noise=(np.radians(2.0), 0.005)) \
+    if FUSED else None
 lat = []
 errs = []
 for frame in range(N_FRAMES):
@@ -60,12 +71,26 @@ for frame in range(N_FRAMES):
     t0 = time.perf_counter()
     # pure host numpy - the eager-jnp version of this cost ~2 device
     # dispatches (~28 ms EACH on tunneled runtimes) inside the timed loop
+    if tracker is not None:
+        tracker.predict()
+        estimate = tracker.pose_mm
     hyps = geometry.sample_hypotheses(
         estimate, N_HYP, rot_deg=np.degrees(0.02), trans_mm=3.0, rng=rng)
-    refined, res = refiner.track(frame_depth, hyps)
-    sync((refined, res.fitness))
+    if FUSED:
+        refined, res, unc = refiner.track(frame_depth, hyps,
+                                          with_covariance=True)
+        sync((refined, res.fitness, unc.covariance))
+    else:
+        refined, res = refiner.track(frame_depth, hyps)
+        sync((refined, res.fitness))
     dt = time.perf_counter() - t0
-    estimate = np.asarray(refined)[prt.PoseRefiner.rank(res)[0]]
+    best = prt.PoseRefiner.rank(res)[0]
+    if tracker is not None:
+        tracker.update(np.asarray(refined)[best],
+                       np.asarray(unc.covariance, np.float64)[best])
+        estimate = tracker.pose_mm
+    else:
+        estimate = np.asarray(refined)[best]
     err = float(rotation_angle_deg(estimate, truth))
     if frame > 0:           # frame 0 pays the compile
         lat.append(dt)
