@@ -59,6 +59,8 @@ from pose_refine_tpu.utils.sync import sync
 
 FAST = "fast" in sys.argv[1:]
 SMOKE = "smoke" in sys.argv[1:]  # tiny CPU-runnable config (code-path check)
+VERBOSE_FITNESS = "fitness" in sys.argv[1:]  # per-frame best-fitness dump
+MIN_FITNESS = 0.6  # the '-q' arms' quality gate (clean frames >>, corrupt <<)
 N_HYP = 4 if SMOKE else 16
 N_FRAMES = 10 if SMOKE else 40
 SIGMA_MM = 3.0
@@ -136,13 +138,18 @@ def run_track(mode):
         prior = estimate if tracker is None else tracker.pose_mm
         hyps = geometry.sample_hypotheses(
             prior, N_HYP, rot_deg=np.degrees(0.02), trans_mm=3.0, rng=rng)
-        inprog = mode == "fused-inprog"
+        inprog = mode.startswith("fused-inprog")
+        qgate = mode.endswith("-q")
         if inprog:
             refined, res, unc = refiner.refine(hyps, with_covariance=True)
         else:
             refined, res = refiner.refine(hyps)
         best_idx = prt.PoseRefiner.rank(res)[0]
         best = np.asarray(refined)[best_idx]
+        fit_best = float(np.asarray(res.fitness)[best_idx])
+        if VERBOSE_FITNESS:
+            print(f"  frame {frame:2d} {'BAD' if bad else '   '} "
+                  f"best fitness {fit_best:.3f}")
 
         def frame_cov():
             if inprog:
@@ -158,7 +165,9 @@ def run_track(mode):
             estimate = tracker.pose_mm
         else:
             cov = fix_cov if mode == "fused-fixcov" else frame_cov()
-            if not tracker.update(best, cov):
+            gate = (dict(quality=fit_best, min_quality=MIN_FITNESS)
+                    if qgate else {})
+            if not tracker.update(best, cov, **gate):
                 rejected += 1
             estimate = tracker.pose_mm
         errs_r.append(float(rotation_angle_deg(estimate, truth)))
@@ -173,8 +182,11 @@ print("backend:", jax.default_backend(),
       f"{np.degrees(JIT_ROT):.1f} deg/{JIT_T:g} mm; "
       f"{N_FRAMES} frames, sigma {SIGMA_MM} mm + {HOLES:.0%} holes, "
       f"every {CORRUPT_EVERY}th frame 80% holes + {SIGMA_MM*10:.0f} mm)")
-modes = ("raw", "fused", "fused-inprog", "fused-fixcov", "fused-cv") if FAST else (
-    "raw", "fused", "fused-inprog", "fused-fixcov")
+modes = ("raw", "fused", "fused-inprog", "fused-inprog-q", "fused-fixcov",
+         "fused-cv") if FAST else ("raw", "fused", "fused-inprog", "fused-fixcov")
+only = [a[5:] for a in sys.argv[1:] if a.startswith("only=")]
+if only:
+    modes = tuple(m for m in modes if m in only)
 for mode in modes:
     t0 = time.time()
     er, et, rej = run_track(mode)

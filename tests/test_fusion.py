@@ -499,3 +499,33 @@ def test_max_innovation_hard_cap_catches_inflated_covariance(rng):
     solo = PoseTracker(truth, init_cov=P0, process_noise=np.zeros((6, 6)))
     assert not solo.update(bad.astype(np.float32), R_inflated,
                            gate_chi2=None, max_innovation=cap)
+
+
+def test_quality_gate(rng):
+    """The fitness gate is an INDEPENDENT acceptance signal: a refinement
+    on a corrupted frame can inflate its own covariance past both
+    statistical gates, but it cannot fake the inlier fraction (measured
+    in the fusion study: corrupt frames score 0.07-0.15 vs >=0.835
+    clean). Reject-unless-provably-inside like the other gates."""
+    truth = _random_pose_mm(rng)
+    P0 = np.diag([np.radians(0.5) ** 2] * 3 + [0.002**2] * 3)
+    tracker = PoseTracker(truth, init_cov=P0, process_noise=np.zeros((6, 6)))
+    T_before = tracker.pose_mm.copy()
+
+    # low quality rejects, state untouched
+    assert not tracker.update(truth, P0, quality=0.15, min_quality=0.6)
+    assert tracker.n_rejected == 1
+    np.testing.assert_array_equal(tracker.pose_mm, T_before)
+
+    # NaN quality rejects (a diverged refinement must not fuse)
+    assert not tracker.update(truth, P0, quality=float("nan"),
+                              min_quality=0.6)
+    assert tracker.n_rejected == 2
+
+    # good quality fuses; no quality args = previous behavior
+    assert tracker.update(truth, P0, quality=0.9, min_quality=0.6)
+    assert tracker.update(truth, P0)
+
+    # min_quality without a quality value is a usage error
+    with pytest.raises(ValueError, match="quality"):
+        tracker.update(truth, P0, min_quality=0.6)
