@@ -228,6 +228,44 @@ def main():
     except Exception as e:
         _emit({"metric": "poses_per_sec_batch256_streaming", "error": str(e)[:200]})
 
+    # ---- secondary metric: fused filter tracking (the production loop:
+    # PoseTracker.predict -> track(with_covariance=True) -> update) -
+    # per-frame scene rebuild + refine + measurement covariance in ONE
+    # program; cost parity with raw tracking measured in demo_track.py ----
+    try:
+        N_TRACK, N_HYP = 10, 16
+        tracker = prt.PoseTracker(truth, process_noise=(np.radians(2.0), 0.005))
+        tr_truth = truth.copy()
+        trng = np.random.default_rng(9)
+        lat = []
+        for frame in range(N_TRACK):
+            drift = np.asarray(geometry.euler_to_rotation(
+                trng.uniform(-0.035, 0.035, 3).astype(np.float32)))
+            tr_truth = np.asarray(geometry.pose_from_Rt(
+                drift @ tr_truth[:3, :3],
+                tr_truth[:3, 3] + trng.uniform(-5, 5, 3).astype(np.float32)))
+            frame_depth = np.asarray(sync(render_fn(jnp.asarray(tr_truth[None]))))[0]
+            t0 = time.perf_counter()
+            tracker.predict()
+            hyps = geometry.sample_hypotheses(
+                tracker.pose_mm, N_HYP, rot_deg=1.2, trans_mm=3.0, rng=trng)
+            tr, ts, tu = refiner.track(frame_depth, hyps, with_covariance=True)
+            sync((tr, ts.fitness, tu.covariance))
+            b = int(prt.PoseRefiner.rank(ts)[0])
+            tracker.update(np.asarray(tr)[b],
+                           np.asarray(tu.covariance, np.float64)[b],
+                           quality=float(np.asarray(ts.fitness)[b]),
+                           min_quality=0.6)
+            if frame > 0:  # frame 0 pays the compile
+                lat.append(time.perf_counter() - t0)
+        t_frame = float(np.median(lat))
+        err_deg = float(rotation_angle_deg(tracker.pose_mm, tr_truth))
+        _emit({"metric": "tracking_fps_fused_filter", "value": round(1.0 / t_frame, 1),
+               "unit": "frames/sec", "wall_ms_per_frame": round(t_frame * 1000, 1),
+               "n_hypotheses": N_HYP, "final_rot_err_deg": round(err_deg, 3)})
+    except Exception as e:
+        _emit({"metric": "tracking_fps_fused_filter", "error": str(e)[:200]})
+
     # ---- secondary metric: the OPT-IN serving ceiling - streaming batch
     # 512 x 4 in flight with the coarse-to-fine ICP point schedule
     # (coarse_iters=16/coarse_stride=4). Not the headline config: ~4-5% of
