@@ -13,9 +13,10 @@ Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/demo_track.py [nn] [coarse
   'coarse' opts into the coarse-to-fine ICP point schedule (c=16, s=4) -
   the LOW-RISK place for it: the tracking prior is within a few degrees,
   so the borderline-basin flips the headline study gates on cannot arise.
-  'fused' runs the full production filter loop: PoseTracker.predict ->
-  track(with_covariance=True) -> update, still ONE device dispatch per
-  frame (the measurement covariance comes fused out of the program). On
+  'fused' runs the full production filter loop via prt.TrackingSession
+  (predict -> belief-sampled hypotheses -> track(with_covariance=True) ->
+  gated update), still ONE device dispatch per frame (the measurement
+  covariance comes fused out of the program). On
   this demo's white-noise motion the filter is correctly a pass-through
   (K ~= 1; scripts/fusion_study.py measures the regimes where it pays) -
   the point here is the loop shape and its cost parity with raw tracking.
@@ -52,10 +53,16 @@ refiner = prt.PoseRefiner(model, K=K, width=640, height=480, render_scale=2,
 rng = np.random.default_rng(3)
 truth = truth0.copy()
 estimate = truth0.copy()   # perfect init on frame 0
-# random-walk process noise sized to the actual per-frame motion (2 deg /
-# 5 mm): honest for this white-noise drift - see the study for predict_cv
-tracker = prt.PoseTracker(truth0, process_noise=(np.radians(2.0), 0.005)) \
-    if FUSED else None
+# fused mode = the productized loop: TrackingSession runs predict ->
+# belief-sampled hypotheses -> track(with_covariance=True) -> gated update.
+# Random-walk process noise sized to the actual per-frame motion (2 deg /
+# 5 mm): honest for this white-noise drift - see the study for predict_cv.
+session = prt.TrackingSession(
+    refiner, truth0,
+    init_cov=np.diag([np.radians(2.0) ** 2] * 3 + [0.005 ** 2] * 3),
+    process_noise=(np.radians(2.0), 0.005),
+    n_hypotheses=N_HYP, seed=3,
+) if FUSED else None
 lat = []
 errs = []
 for frame in range(N_FRAMES):
@@ -69,27 +76,19 @@ for frame in range(N_FRAMES):
     # "sensor" frame -> ONE fused program: scene build + refinement
     frame_depth = scene_render(tris, truth, proj)
     t0 = time.perf_counter()
-    # pure host numpy - the eager-jnp version of this cost ~2 device
-    # dispatches (~28 ms EACH on tunneled runtimes) inside the timed loop
-    if tracker is not None:
-        tracker.predict()
-        estimate = tracker.pose_mm
-    hyps = geometry.sample_hypotheses(
-        estimate, N_HYP, rot_deg=np.degrees(0.02), trans_mm=3.0, rng=rng)
+    # pure host numpy bookkeeping - the eager-jnp version of this cost ~2
+    # device dispatches (~28 ms EACH on tunneled runtimes) inside the loop
     if FUSED:
-        refined, res, unc = refiner.track(frame_depth, hyps,
-                                          with_covariance=True)
-        sync((refined, res.fitness, unc.covariance))
+        # one fused device program per frame; readbacks fence the step
+        estimate = session.step(frame_depth).pose
+        dt = time.perf_counter() - t0
     else:
+        hyps = geometry.sample_hypotheses(
+            estimate, N_HYP, rot_deg=np.degrees(0.02), trans_mm=3.0, rng=rng)
         refined, res = refiner.track(frame_depth, hyps)
         sync((refined, res.fitness))
-    dt = time.perf_counter() - t0
-    best = prt.PoseRefiner.rank(res)[0]
-    if tracker is not None:
-        tracker.update(np.asarray(refined)[best],
-                       np.asarray(unc.covariance, np.float64)[best])
-        estimate = tracker.pose_mm
-    else:
+        dt = time.perf_counter() - t0
+        best = prt.PoseRefiner.rank(res)[0]
         estimate = np.asarray(refined)[best]
     err = float(rotation_angle_deg(estimate, truth))
     if frame > 0:           # frame 0 pays the compile
