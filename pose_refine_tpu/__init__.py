@@ -37,7 +37,11 @@ from pose_refine_tpu.icp import (  # noqa: F401
 )
 from pose_refine_tpu.scene import SceneProjective, SceneNN, KDTree, build_kdtree  # noqa: F401
 from pose_refine_tpu.utils.fusion import PoseTracker  # noqa: F401
-from pose_refine_tpu.tracking import TrackingSession, TrackStep  # noqa: F401
+from pose_refine_tpu.tracking import (  # noqa: F401
+    MultiObjectSession,
+    TrackingSession,
+    TrackStep,
+)
 from pose_refine_tpu.api import PoseRenderer, get_bbox  # noqa: F401
 from pose_refine_tpu.pipeline import (  # noqa: F401
     MultiModelRefiner,

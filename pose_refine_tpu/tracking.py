@@ -60,6 +60,53 @@ class TrackStep(NamedTuple):
     covariance: np.ndarray
 
 
+def _host_results(results: icp.RegistrationResult) -> icp.RegistrationResult:
+    """One D2H per leaf, ONCE - every later slice/rank is host numpy (eager
+    jnp slicing costs a ~28 ms dispatch EACH on tunneled runtimes)."""
+    return icp.RegistrationResult(
+        transformation=np.asarray(results.transformation),
+        fitness=np.asarray(results.fitness),
+        inlier_rmse=np.asarray(results.inlier_rmse),
+        n_points=(
+            None if results.n_points is None else np.asarray(results.n_points)
+        ),
+    )
+
+
+def _fuse_ranked_best(
+    tracker: PoseTracker,
+    refined_np: np.ndarray,
+    results_np: icp.RegistrationResult,
+    cov_np: np.ndarray,
+    gate_chi2,
+    max_innovation,
+    min_quality,
+) -> TrackStep:
+    """Rank one object's refined hypotheses by (fitness, -rmse) and fuse the
+    winner through the tracker's gates. All inputs are host numpy."""
+    order = np.lexsort((results_np.inlier_rmse, -results_np.fitness))
+    best = int(order[0])
+    fitness = float(results_np.fitness[best])
+    cov = cov_np[best]
+    accepted = tracker.update(
+        refined_np[best],
+        cov,
+        gate_chi2=gate_chi2,
+        max_innovation=max_innovation,
+        quality=fitness if min_quality is not None else None,
+        min_quality=min_quality,
+    )
+    return TrackStep(
+        pose=tracker.pose_mm,
+        accepted=accepted,
+        best=best,
+        fitness=fitness,
+        refined=refined_np,
+        results=results_np,
+        covariance=cov,
+    )
+
+
 class TrackingSession:
     """Per-frame tracking loop around one object: refiner + fusion filter.
 
@@ -178,28 +225,17 @@ class TrackingSession:
                 frame_depth, hyps, with_covariance=True
             )
 
-        best = int(PoseRefiner.rank(results)[0])
-        refined_np = np.asarray(refined)
-        fitness = float(np.asarray(results.fitness)[best])
-        cov = np.asarray(unc.covariance, np.float64)[best]
-        accepted = self.tracker.update(
-            refined_np[best],
-            cov,
-            gate_chi2=self.gate_chi2,
-            max_innovation=self.max_innovation,
-            quality=fitness if self.min_quality is not None else None,
-            min_quality=self.min_quality,
+        step = _fuse_ranked_best(
+            self.tracker,
+            np.asarray(refined),
+            _host_results(results),
+            np.asarray(unc.covariance, np.float64),
+            self.gate_chi2,
+            self.max_innovation,
+            self.min_quality,
         )
         self.n_frames += 1
-        return TrackStep(
-            pose=self.tracker.pose_mm,
-            accepted=accepted,
-            best=best,
-            fitness=fitness,
-            refined=refined_np,
-            results=results,
-            covariance=cov,
-        )
+        return step
 
     # -- checkpoint/resume ------------------------------------------------
     # The refiner itself is rebuilt from (model, K, config) by the caller;
@@ -232,6 +268,209 @@ class TrackingSession:
         self = cls.__new__(cls)
         self.refiner = refiner
         self.tracker = PoseTracker.from_state(state["tracker"])
+        motion = str(state["motion"])
+        if motion not in _MOTIONS:
+            raise ValueError(f"state has unknown motion {motion!r}")
+        self.motion = motion
+        self.n_hypotheses = int(state["n_hypotheses"])
+        self.hypothesis_scale = float(state["hypothesis_scale"])
+        mq = state["min_quality"]
+        self.min_quality = None if mq is None else float(mq)
+        gc = state["gate_chi2"]
+        self.gate_chi2 = None if gc is None else float(gc)
+        mi = state["max_innovation"]
+        self.max_innovation = None if mi is None else tuple(float(v) for v in mi)
+        self._rng = np.random.default_rng(0)
+        self._rng.bit_generator.state = json.loads(str(state["rng_state_json"]))
+        self.n_frames = int(state["n_frames"])
+        return self
+
+
+class MultiObjectSession:
+    """Track SEVERAL objects in the same sensor stream with ONE fused device
+    program per frame.
+
+    Each frame, every object's belief-sampled hypotheses are concatenated
+    into a single MultiModelRefiner.track batch (per-pose model ids route
+    each hypothesis to its object's mesh), refined together with in-program
+    measurement covariances, and each object's filter then ranks and fuses
+    its own rows. K objects cost ONE dispatch per frame, not K - on
+    tunneled runtimes that alone saves (K-1) x ~28 ms, and the device work
+    is the same batched pipeline that serves batch-256 hypothesis sweeps.
+    The reference cannot express this at all: it binds one mesh per
+    renderer and runs its whole pipeline once per object
+    (pose_renderer.h:15-19).
+
+    Args:
+      refiner: a MultiModelRefiner over all tracked meshes.
+      objects: list of (model_id, init_pose_mm) pairs, one per tracked
+        object instance (several instances may share a model_id).
+      remaining kwargs: shared loop config, exactly TrackingSession's.
+
+    Example:
+
+        refiner = MultiModelRefiner([mesh_a, mesh_b], K=K)
+        session = MultiObjectSession(refiner, [(0, pose_a), (1, pose_b)])
+        for depth in frames:
+            steps = session.step(depth)      # one fused dispatch
+            use(steps[0].pose, steps[1].pose)
+    """
+
+    def __init__(
+        self,
+        refiner: MultiModelRefiner,
+        objects,
+        *,
+        init_cov=None,
+        process_noise=None,
+        motion: str = "random_walk",
+        n_hypotheses: int = 4,
+        hypothesis_scale: float = 1.0,
+        min_quality: Optional[float] = 0.6,
+        gate_chi2: Optional[float] = CHI2_6_99,
+        max_innovation=None,
+        seed=0,
+    ):
+        if not isinstance(refiner, MultiModelRefiner):
+            raise ValueError(
+                "MultiObjectSession needs a MultiModelRefiner (a single-model "
+                "PoseRefiner tracks one object - use TrackingSession)"
+            )
+        objects = list(objects)
+        if not objects:
+            raise ValueError("MultiObjectSession needs at least one object")
+        if motion not in _MOTIONS:
+            raise ValueError(f"motion must be one of {_MOTIONS}, got {motion!r}")
+        if int(n_hypotheses) < 1:
+            raise ValueError(f"n_hypotheses must be >= 1, got {n_hypotheses}")
+        self.refiner = refiner
+        self.model_ids = []
+        self.trackers = []
+        for model_id, init_pose in objects:
+            mid = int(model_id)
+            if not 0 <= mid < len(refiner.models):
+                raise ValueError(
+                    f"model_id {mid} out of range [0, {len(refiner.models)})"
+                )
+            self.model_ids.append(mid)
+            self.trackers.append(
+                PoseTracker(init_pose, init_cov=init_cov, process_noise=process_noise)
+            )
+        self.motion = motion
+        self.n_hypotheses = int(n_hypotheses)
+        self.hypothesis_scale = float(hypothesis_scale)
+        self.min_quality = min_quality
+        self.gate_chi2 = gate_chi2
+        self.max_innovation = max_innovation
+        self._rng = np.random.default_rng(seed)
+        self.n_frames = 0
+
+    @property
+    def poses(self) -> np.ndarray:
+        """(K, 4, 4) current fused estimates, translation in mm."""
+        return np.stack([t.pose_mm for t in self.trackers])
+
+    def step(self, frame_depth, motions_mm=None) -> list:
+        """Consume one depth frame; returns one :class:`TrackStep` per
+        object (``refined``/``results``/``best`` are that object's rows of
+        the fused batch).
+
+        motions_mm: optional per-object external motion increments - a
+        sequence of K entries, each a (4, 4) LEFT-applied camera-frame
+        increment or None (that object falls back to the session's motion
+        model for this frame).
+        """
+        k = len(self.trackers)
+        if motions_mm is None:
+            motions_mm = [None] * k
+        if len(motions_mm) != k:
+            raise ValueError(f"{len(motions_mm)} motions for {k} objects")
+        n = self.n_hypotheses
+        hyp_blocks = []
+        for tracker, motion_mm in zip(self.trackers, motions_mm):
+            if motion_mm is not None:
+                tracker.predict(motion_mm)
+            elif self.motion == "constant_velocity":
+                tracker.predict_cv()
+            else:
+                tracker.predict()
+            hyp_blocks.append(
+                tracker.hypotheses(n, scale=self.hypothesis_scale, seed=self._rng)
+            )
+        hyps = np.concatenate(hyp_blocks)  # (K*n, 4, 4)
+        ids = np.repeat(np.asarray(self.model_ids, np.int32), n)
+        refined, results, unc = self.refiner.track(
+            frame_depth, ids, hyps, with_covariance=True
+        )
+
+        refined_np = np.asarray(refined)
+        results_np = _host_results(results)
+        cov_np = np.asarray(unc.covariance, np.float64)
+        steps = []
+        for i, tracker in enumerate(self.trackers):
+            rows = slice(i * n, (i + 1) * n)
+            steps.append(
+                _fuse_ranked_best(
+                    tracker,
+                    refined_np[rows],
+                    icp.RegistrationResult(
+                        transformation=results_np.transformation[rows],
+                        fitness=results_np.fitness[rows],
+                        inlier_rmse=results_np.inlier_rmse[rows],
+                        n_points=(
+                            None
+                            if results_np.n_points is None
+                            else results_np.n_points[rows]
+                        ),
+                    ),
+                    cov_np[rows],
+                    self.gate_chi2,
+                    self.max_innovation,
+                    self.min_quality,
+                )
+            )
+        self.n_frames += 1
+        return steps
+
+    def state_dict(self):
+        """Exact loop state; ``from_state(refiner, state)`` resumes
+        bit-exactly (see TrackingSession.state_dict)."""
+        return {
+            "model_ids": list(self.model_ids),
+            "trackers": [t.state_dict() for t in self.trackers],
+            "rng_state_json": json.dumps(self._rng.bit_generator.state),
+            "motion": self.motion,
+            "n_hypotheses": self.n_hypotheses,
+            "hypothesis_scale": self.hypothesis_scale,
+            "min_quality": self.min_quality,
+            "gate_chi2": self.gate_chi2,
+            "max_innovation": (
+                None
+                if self.max_innovation is None
+                else tuple(float(v) for v in self.max_innovation)
+            ),
+            "n_frames": self.n_frames,
+        }
+
+    @classmethod
+    def from_state(cls, refiner: MultiModelRefiner, state) -> "MultiObjectSession":
+        """Inverse of :meth:`state_dict` given a freshly configured refiner."""
+        self = cls.__new__(cls)
+        if not isinstance(refiner, MultiModelRefiner):
+            raise ValueError("MultiObjectSession.from_state needs a MultiModelRefiner")
+        self.refiner = refiner
+        self.model_ids = [int(i) for i in state["model_ids"]]
+        for mid in self.model_ids:
+            if not 0 <= mid < len(refiner.models):
+                raise ValueError(
+                    f"state model_id {mid} out of range [0, {len(refiner.models)})"
+                )
+        self.trackers = [PoseTracker.from_state(s) for s in state["trackers"]]
+        if len(self.trackers) != len(self.model_ids):
+            raise ValueError(
+                f"{len(self.trackers)} tracker states for "
+                f"{len(self.model_ids)} model ids"
+            )
         motion = str(state["motion"])
         if motion not in _MOTIONS:
             raise ValueError(f"state has unknown motion {motion!r}")

@@ -143,6 +143,108 @@ def test_session_multi_model(setup):
     assert step.accepted and step.fitness > 0.7
 
 
+def _composite(*depths):
+    """Min-nonzero depth composite: several objects in one sensor frame."""
+    out = np.zeros_like(depths[0])
+    for d in depths:
+        take = (d > 0) & ((out == 0) | (d < out))
+        out = np.where(take, d, out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def multi_setup():
+    K = geometry.LINEMOD_K.copy()
+    K[:2] *= 0.25
+    bumpy = mesh.make_bumpy_sphere(radius=40.0, subdivisions=3)
+    ico = mesh.make_icosphere(radius=30.0, subdivisions=3)
+    r_a = prt.PoseRenderer(bumpy, K=K, width=W, height=H, backend="dense")
+    r_b = prt.PoseRenderer(ico, K=K, width=W, height=H, backend="dense")
+    refiner = prt.MultiModelRefiner([bumpy, ico], K=K, width=W, height=H,
+                                    max_points=8192, use_pallas=False,
+                                    window=96, stride=1)
+    _, pose2, _ = reference_demo_poses()
+    pose_a = pose2.copy()
+    pose_a[:3, 3] = [-45.0, 0.0, 300.0]
+    pose_b = pose2.copy()
+    pose_b[:3, 3] = [45.0, 0.0, 300.0]
+    return refiner, r_a, r_b, pose_a, pose_b
+
+
+def test_multi_object_session_tracks_both(multi_setup):
+    """Two objects of different meshes, one fused dispatch per frame."""
+    refiner, r_a, r_b, pose_a, pose_b = multi_setup
+    session = prt.MultiObjectSession(
+        refiner, [(0, pose_a), (1, pose_b)], n_hypotheses=3, seed=1)
+    rng = np.random.default_rng(13)
+    truth_a, truth_b = pose_a.copy(), pose_b.copy()
+    for frame in range(4):
+        truth_a = _drift(truth_a, rng, rot=0.015, trans=2.0)
+        truth_b = _drift(truth_b, rng, rot=0.015, trans=2.0)
+        depth = _composite(
+            np.asarray(r_a.render_depth(truth_a))[0].astype(np.int32),
+            np.asarray(r_b.render_depth(truth_b))[0].astype(np.int32))
+        steps = session.step(depth)
+        assert len(steps) == 2
+        for step, truth in zip(steps, (truth_a, truth_b)):
+            assert step.accepted
+            assert step.refined.shape == (3, 4, 4)
+            t_err = np.abs(step.pose[:3, 3] - truth[:3, 3]).max()
+            assert t_err < 6.0, f"frame {frame}: lost an object ({t_err} mm)"
+    np.testing.assert_array_equal(
+        session.poses, np.stack([steps[0].pose, steps[1].pose]))
+
+
+def test_multi_object_per_object_gating(multi_setup):
+    """One object vanishing from the frame must reject ONLY its own
+    measurement; the other keeps fusing."""
+    refiner, r_a, r_b, pose_a, pose_b = multi_setup
+    session = prt.MultiObjectSession(
+        refiner, [(0, pose_a), (1, pose_b)], n_hypotheses=2, seed=2)
+    full = _composite(
+        np.asarray(r_a.render_depth(pose_a))[0].astype(np.int32),
+        np.asarray(r_b.render_depth(pose_b))[0].astype(np.int32))
+    steps = session.step(full)
+    assert steps[0].accepted and steps[1].accepted
+
+    before_a = session.trackers[0].pose_mm.copy()
+    only_b = np.asarray(r_b.render_depth(pose_b))[0].astype(np.int32)
+    steps = session.step(only_b)
+    assert not steps[0].accepted and steps[0].fitness < 0.6
+    assert steps[1].accepted
+    np.testing.assert_array_equal(steps[0].pose, before_a)
+
+
+def test_multi_object_resume_bit_exact(multi_setup):
+    refiner, r_a, r_b, pose_a, pose_b = multi_setup
+    depth = _composite(
+        np.asarray(r_a.render_depth(pose_a))[0].astype(np.int32),
+        np.asarray(r_b.render_depth(pose_b))[0].astype(np.int32))
+    session = prt.MultiObjectSession(
+        refiner, [(0, pose_a), (1, pose_b)], n_hypotheses=3, seed=3)
+    session.step(depth)
+    state = session.state_dict()
+    want = [s.pose for s in session.step(depth)]
+    resumed = prt.MultiObjectSession.from_state(refiner, state)
+    got = [s.pose for s in resumed.step(depth)]
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_multi_object_validation(setup, multi_setup):
+    m, K, _ = setup
+    refiner, _, _, pose_a, pose_b = multi_setup
+    with pytest.raises(ValueError, match="MultiModelRefiner"):
+        prt.MultiObjectSession(_refiner(m, K), [(0, pose_a)])
+    with pytest.raises(ValueError, match="at least one"):
+        prt.MultiObjectSession(refiner, [])
+    with pytest.raises(ValueError, match="out of range"):
+        prt.MultiObjectSession(refiner, [(2, pose_a)])
+    session = prt.MultiObjectSession(refiner, [(0, pose_a), (1, pose_b)])
+    with pytest.raises(ValueError, match="motions"):
+        session.step(np.zeros((H, W), np.int32), motions_mm=[None])
+
+
 def test_session_validation(setup):
     m, K, _ = setup
     _, pose2, _ = reference_demo_poses()
