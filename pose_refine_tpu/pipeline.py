@@ -169,7 +169,23 @@ def refine_poses_jit(
         )
 
     info, sigma2, count = jax.vmap(one_info)(_clouds, valids)
-    cov = icp.pose_covariance(info, sigma2)
+    # render-calibrated, not the pure Laplace: rendered-pipeline residuals
+    # are quantization-correlated, which the curvature underestimates by
+    # ~3x std (NEES 84-384 raw; icp.RENDER_COV_INFLATION rationale +
+    # scripts/uncertainty_calibration_study.py). The sigma2 floor covers
+    # BOTH quantization sources: depth (integer mm) and the lateral pixel
+    # size z/fx at the RENDER intrinsics - render_scale shrinks fx, so
+    # coarser renders get an honestly larger floor (measured: without the
+    # lateral term, render_scale=2 stays ~8x overconfident in NEES).
+    v = valids.astype(jnp.float32)
+    mean_z = jnp.sum(jnp.abs(_clouds[..., 2]) * v, axis=-1) / jnp.maximum(
+        jnp.sum(v, axis=-1), 1.0)
+    lateral = icp.LATERAL_QUANT_COEFF * mean_z / jnp.asarray(K)[0, 0]
+    cov = icp.pose_covariance(
+        info, sigma2,
+        inflation=icp.RENDER_COV_INFLATION,
+        sigma2_floor=icp.DEPTH_QUANT_SIGMA_M ** 2 + lateral ** 2,
+    )
     return refined, results, icp.PoseUncertainty(info, sigma2, count, cov)
 
 
@@ -979,6 +995,22 @@ class PoseRefiner:
         if squeeze:
             out = tuple(jax.tree.map(lambda x: x[0], o) for o in out)
         return out if with_covariance else (out[0], out[1])
+
+    def track_async(self, *args, **kwargs) -> PendingResult:
+        """track() without host synchronization: returns a
+        :class:`PendingResult` immediately (the per-frame saturation
+        readback is skipped, like refine_async) so a tracking loop can
+        enqueue frame k+1's fused program before fencing frame k -
+        TrackingSession.step_async builds the double-buffered loop on
+        this. Same arguments as :meth:`track` (works through
+        MultiModelRefiner's model_ids signature too)."""
+        check = self._check_saturation
+        self._check_saturation = False
+        try:
+            out = self.track(*args, **kwargs)
+        finally:
+            self._check_saturation = check
+        return PendingResult(*out)
 
     @staticmethod
     def rank(results: icp.RegistrationResult):

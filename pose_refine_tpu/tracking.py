@@ -29,11 +29,13 @@ from __future__ import annotations
 import json
 from typing import NamedTuple, Optional
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from pose_refine_tpu import icp
 from pose_refine_tpu.pipeline import MultiModelRefiner, PoseRefiner
-from pose_refine_tpu.utils.fusion import CHI2_6_99, PoseTracker
+from pose_refine_tpu.utils.fusion import CHI2_6_99, PoseTracker, se3_log
 
 _MOTIONS = ("random_walk", "constant_velocity")
 
@@ -48,7 +50,10 @@ class TrackStep(NamedTuple):
     fitness:    the winner's inlier fraction (the quality-gate signal).
     refined:    (N, 4, 4) all refined hypotheses (host numpy).
     results:    the batch RegistrationResult (fitness/inlier_rmse per row).
-    covariance: (6, 6) the winner's measurement covariance [rad, m] twist.
+    covariance: (6, 6) the effective measurement covariance the filter
+                fused [rad, m] twist: the winner's render-calibrated
+                Laplace covariance plus the hypothesis-ensemble scatter
+                term (see _ensemble_cov).
     """
 
     pose: np.ndarray
@@ -73,6 +78,118 @@ def _host_results(results: icp.RegistrationResult) -> icp.RegistrationResult:
     )
 
 
+@jax.jit
+def _pack_outputs(refined, transformation, fitness, rmse, n_points, cov):
+    """Everything a session consumes per frame, as ONE (N, 71) buffer:
+    [refined 16 | transformation 16 | fitness | rmse | n_points | cov 36].
+    On tunneled runtimes every np.asarray is a separate ~28 ms D2H round
+    trip - six per frame made the tracking loop host-readback-bound
+    (measured 272 ms/frame; VERDICT r3 #3). One packed pull is one."""
+    n = refined.shape[0]
+    return jnp.concatenate([
+        refined.reshape(n, 16),
+        transformation.reshape(n, 16),
+        fitness[:, None],
+        rmse[:, None],
+        n_points[:, None].astype(jnp.float32),
+        cov.reshape(n, 36),
+    ], axis=1)
+
+
+def _pack_on_device(refined, results, unc):
+    """Enqueue the packing program (async, no host sync); returns
+    (packed_device_array, has_n_points)."""
+    has_np = results.n_points is not None
+    packed = _pack_outputs(
+        jnp.asarray(refined), results.transformation, results.fitness,
+        results.inlier_rmse,
+        results.n_points if has_np else results.fitness,
+        unc.covariance)
+    return packed, has_np
+
+
+def _unpack_outputs(buf: np.ndarray, has_np: bool):
+    """Host-side inverse of _pack_outputs: (refined, results, cov f64)."""
+    n = buf.shape[0]
+    results_np = icp.RegistrationResult(
+        transformation=buf[:, 16:32].reshape(n, 4, 4),
+        fitness=buf[:, 32],
+        inlier_rmse=buf[:, 33],
+        n_points=buf[:, 34] if has_np else None,
+    )
+    cov_np = buf[:, 35:71].reshape(n, 6, 6).astype(np.float64)
+    return buf[:, :16].reshape(n, 4, 4), results_np, cov_np
+
+
+def _pull_track_outputs(refined, results, unc):
+    """Fetch one frame's track(with_covariance=True) outputs with a SINGLE
+    device-to-host transfer. Returns (refined, results, cov) as host numpy
+    (cov float64, ready for the filter)."""
+    packed, has_np = _pack_on_device(refined, results, unc)
+    return _unpack_outputs(np.asarray(packed), has_np)
+
+
+# hypotheses below this fitness diverged (or track a different basin) and
+# must not pollute the ensemble scatter; clean frames score >= 0.835 in
+# scripts/fusion_study.py, corrupt ones 0.07-0.15
+_ENSEMBLE_MIN_FITNESS = 0.5
+# ...and rows that did not reach the winner's basin floor (visibly worse
+# fitness/rmse = partial convergence from a far start, common with
+# step_async's one-frame-stale hypothesis centers) measure CONVERGENCE
+# distance, not measurement repeatability - including them inflated R until
+# the filter lagged the motion (measured: 1.4 deg vs 0.08 deg final error
+# on the TPU tracking drive). On degenerate DOFs (the icosphere's
+# rotations) the wandering rows have IDENTICAL scores - the surface does
+# not move - so they pass these tolerances and the honest scatter is kept.
+_ENSEMBLE_FITNESS_TOL = 0.05
+_ENSEMBLE_RMSE_TOL = 0.25  # relative, plus the depth-quantization floor
+
+
+def _ensemble_cov(refined_np, fitness_np, best: int,
+                  rmse_np=None) -> np.ndarray:
+    """Hypothesis-scatter measurement covariance term (6x6, [rad, m] twist).
+
+    The fused Laplace covariance - even render-calibrated
+    (icp.RENDER_COV_INFLATION) - cannot see error the fit never corrects:
+    on weakly-constrained geometry (near-symmetric meshes) the refined
+    rotation largely inherits the HYPOTHESIS's error, so per-fit statistics
+    claim ~0.25 deg std while the actual scatter is 2-4 deg (the round-3
+    filter-divergence mode). The session refines several hypotheses from
+    different starts each frame; their post-convergence scatter about the
+    winner measures exactly that per-frame basin wander, per direction:
+    well-constrained DOFs collapse together (tiny term), unobservable ones
+    stay spread at the sampling scale (honest term). Measured in
+    scripts/uncertainty_calibration_study.py: adding this to the calibrated
+    Laplace takes the icosphere's NEES from ~35-43 to ~8-9 while leaving
+    the bumpy sphere near-ideal."""
+    ens = np.zeros((6, 6))
+    k = 0
+    try:
+        inv_best = np.linalg.inv(PoseTracker._to_m(refined_np[best]))
+    except np.linalg.LinAlgError:
+        return ens
+    min_fit = max(_ENSEMBLE_MIN_FITNESS,
+                  float(fitness_np[best]) - _ENSEMBLE_FITNESS_TOL)
+    max_rmse = None
+    if rmse_np is not None:
+        br = float(rmse_np[best])
+        max_rmse = br + max(_ENSEMBLE_RMSE_TOL * br, icp.DEPTH_QUANT_SIGMA_M)
+    for i in range(len(refined_np)):
+        if i == best or not (fitness_np[i] >= min_fit):
+            continue
+        if max_rmse is not None and not (rmse_np[i] <= max_rmse):
+            continue
+        try:
+            e = se3_log(PoseTracker._to_m(refined_np[i]) @ inv_best)
+        except ValueError:
+            continue  # ~180 deg apart: a wrong-basin row, not scatter
+        if not np.isfinite(e).all():
+            continue
+        ens += np.outer(e, e)
+        k += 1
+    return ens / k if k else ens
+
+
 def _fuse_ranked_best(
     tracker: PoseTracker,
     refined_np: np.ndarray,
@@ -84,10 +201,10 @@ def _fuse_ranked_best(
 ) -> TrackStep:
     """Rank one object's refined hypotheses by (fitness, -rmse) and fuse the
     winner through the tracker's gates. All inputs are host numpy."""
-    order = np.lexsort((results_np.inlier_rmse, -results_np.fitness))
-    best = int(order[0])
+    best = int(PoseRefiner.rank(results_np)[0])
     fitness = float(results_np.fitness[best])
-    cov = cov_np[best]
+    cov = cov_np[best] + _ensemble_cov(
+        refined_np, results_np.fitness, best, results_np.inlier_rmse)
     accepted = tracker.update(
         refined_np[best],
         cov,
@@ -167,6 +284,9 @@ class TrackingSession:
             raise ValueError(f"motion must be one of {_MOTIONS}, got {motion!r}")
         if int(n_hypotheses) < 1:
             raise ValueError(f"n_hypotheses must be >= 1, got {n_hypotheses}")
+        if not float(hypothesis_scale) > 0.0:
+            raise ValueError(
+                f"hypothesis_scale must be > 0, got {hypothesis_scale}")
         self.refiner = refiner
         self.tracker = PoseTracker(
             init_pose, init_cov=init_cov, process_noise=process_noise
@@ -179,6 +299,7 @@ class TrackingSession:
         self.max_innovation = max_innovation
         self._rng = np.random.default_rng(seed)
         self.n_frames = 0
+        self._inflight = None  # step_async's pending (PendingResult, motion)
 
     @property
     def pose(self) -> np.ndarray:
@@ -199,6 +320,11 @@ class TrackingSession:
         model_id: required when the refiner is a MultiModelRefiner -
         which model this session's object is (all hypotheses share it).
         """
+        if self._inflight is not None:
+            raise RuntimeError(
+                "a step_async frame is still in flight - call flush() "
+                "before synchronous step()"
+            )
         if motion_mm is not None:
             self.tracker.predict(motion_mm)
         elif self.motion == "constant_velocity":
@@ -227,9 +353,7 @@ class TrackingSession:
 
         step = _fuse_ranked_best(
             self.tracker,
-            np.asarray(refined),
-            _host_results(results),
-            np.asarray(unc.covariance, np.float64),
+            *_pull_track_outputs(refined, results, unc),
             self.gate_chi2,
             self.max_innovation,
             self.min_quality,
@@ -237,14 +361,124 @@ class TrackingSession:
         self.n_frames += 1
         return step
 
+    # -- pipelined (double-buffered) stepping ------------------------------
+    # step() is fence-per-frame: frame k+1's program cannot be enqueued
+    # until frame k's readback returns, so every frame pays the full
+    # dispatch + execute + D2H latency SERIALLY (~170 ms/frame on tunneled
+    # runtimes at 16 hypotheses). step_async() enqueues frame k's fused
+    # program FIRST and only then fences frame k-1 - device execution of
+    # frame k overlaps frame k-1's readback + fusion + frame k+1's host
+    # prep, so the steady-state frame period approaches
+    # max(device_time, host_time) instead of their sum. The price: one
+    # frame of latency, and hypothesis centers extrapolated from a belief
+    # that lags by the in-flight frame (the filter itself stays exactly
+    # ordered - predict/update run at fuse time). The reference gets
+    # concurrency from per-thread CUDA streams (README.md:15); this is the
+    # XLA-async-dispatch expression of the same intent.
+
+    def _advance(self, tracker: PoseTracker, motion_mm):
+        """One motion-model time update on `tracker` (shared by the fuse
+        path and the sampling extrapolation)."""
+        if motion_mm is not None:
+            tracker.predict(motion_mm)
+        elif self.motion == "constant_velocity":
+            tracker.predict_cv()
+        else:
+            tracker.predict()
+
+    def _sample_ahead(self, motion_mm):
+        """Hypotheses for the NEXT enqueued frame: the current belief
+        extrapolated (on a throwaway filter copy) across the in-flight
+        frame plus this one. The real filter is untouched - it predicts in
+        order at fuse time."""
+        tmp = PoseTracker.from_state(self.tracker.state_dict())
+        if self._inflight is not None:
+            self._advance(tmp, self._inflight[2])  # the in-flight frame's motion
+        self._advance(tmp, motion_mm)
+        return tmp.hypotheses(
+            self.n_hypotheses, scale=self.hypothesis_scale, seed=self._rng
+        )
+
+    def _fuse_inflight(self) -> Optional[TrackStep]:
+        """Fence + fuse the in-flight frame (None if nothing is pending).
+        Runs the filter's predict for that frame immediately before its
+        update, so the estimate sequence is identical to unpipelined
+        stepping with the same measurements."""
+        if self._inflight is None:
+            return None
+        packed, has_np, motion_mm = self._inflight
+        self._inflight = None
+        self._advance(self.tracker, motion_mm)
+        step = _fuse_ranked_best(
+            self.tracker,
+            *_unpack_outputs(np.asarray(packed), has_np),
+            self.gate_chi2,
+            self.max_innovation,
+            self.min_quality,
+        )
+        self.n_frames += 1
+        return step
+
+    def step_async(self, frame_depth, motion_mm=None,
+                   model_id=None) -> Optional[TrackStep]:
+        """Pipelined tracking: enqueue this frame's fused program, then
+        fence + fuse the PREVIOUS frame and return its :class:`TrackStep`
+        (None on the first call - results lag one frame). Call
+        :meth:`flush` after the last frame to collect the final step.
+
+            session = TrackingSession(refiner, detector_pose)
+            for depth in frames:
+                step = session.step_async(depth)
+                if step is not None:
+                    use(step.pose)
+            use(session.flush().pose)
+        """
+        hyps = self._sample_ahead(motion_mm)
+        if isinstance(self.refiner, MultiModelRefiner):
+            if model_id is None:
+                raise ValueError(
+                    "refiner is a MultiModelRefiner: step_async() needs "
+                    "model_id"
+                )
+            ids = np.full((hyps.shape[0],), int(model_id), np.int32)
+            pending = self.refiner.track_async(
+                frame_depth, ids, hyps, with_covariance=True
+            )
+        else:
+            if model_id is not None:
+                raise ValueError("model_id is only valid with MultiModelRefiner")
+            pending = self.refiner.track_async(
+                frame_depth, hyps, with_covariance=True
+            )
+        # enqueue the output-packing program NOW (async): it chains after
+        # the track program on device, so the eventual fuse is one pure D2H
+        packed, has_np = _pack_on_device(
+            pending.refined, pending.results, pending.uncertainty)
+        prev = self._fuse_inflight()
+        self._inflight = (packed, has_np, motion_mm)
+        return prev
+
+    def flush(self) -> Optional[TrackStep]:
+        """Fence + fuse the last step_async frame (None if nothing is in
+        flight). After flush(), pose/state_dict reflect every consumed
+        frame and step()/step_async() may be mixed freely again."""
+        return self._fuse_inflight()
+
     # -- checkpoint/resume ------------------------------------------------
     # The refiner itself is rebuilt from (model, K, config) by the caller;
     # the session state is the filter + the hypothesis rng stream + the
-    # loop config, all npz-friendly plain arrays/scalars.
+    # loop config. utils.serialization.save(path, session) persists it to
+    # one .npz; load(path, refiner=...) resumes (the state dict nests the
+    # tracker's dict plus strings/None - serialization flattens it).
 
     def state_dict(self):
         """Exact loop state (filter, rng stream, gates) as plain values -
         ``from_state(refiner, state)`` resumes bit-exactly."""
+        if self._inflight is not None:
+            raise RuntimeError(
+                "a step_async frame is still in flight - call flush() "
+                "before state_dict()"
+            )
         return {
             "tracker": self.tracker.state_dict(),
             "rng_state_json": json.dumps(self._rng.bit_generator.state),
@@ -272,8 +506,18 @@ class TrackingSession:
         if motion not in _MOTIONS:
             raise ValueError(f"state has unknown motion {motion!r}")
         self.motion = motion
+        # same invariants __init__ enforces: a hand-edited/corrupted state
+        # must error, not silently degrade (n_hypotheses=0 would resume as
+        # mean-only tracking)
         self.n_hypotheses = int(state["n_hypotheses"])
+        if self.n_hypotheses < 1:
+            raise ValueError(
+                f"state n_hypotheses must be >= 1, got {self.n_hypotheses}")
         self.hypothesis_scale = float(state["hypothesis_scale"])
+        if not self.hypothesis_scale > 0.0:
+            raise ValueError(
+                f"state hypothesis_scale must be > 0, got "
+                f"{self.hypothesis_scale}")
         mq = state["min_quality"]
         self.min_quality = None if mq is None else float(mq)
         gc = state["gate_chi2"]
@@ -283,6 +527,7 @@ class TrackingSession:
         self._rng = np.random.default_rng(0)
         self._rng.bit_generator.state = json.loads(str(state["rng_state_json"]))
         self.n_frames = int(state["n_frames"])
+        self._inflight = None
         return self
 
 
@@ -343,6 +588,9 @@ class MultiObjectSession:
             raise ValueError(f"motion must be one of {_MOTIONS}, got {motion!r}")
         if int(n_hypotheses) < 1:
             raise ValueError(f"n_hypotheses must be >= 1, got {n_hypotheses}")
+        if not float(hypothesis_scale) > 0.0:
+            raise ValueError(
+                f"hypothesis_scale must be > 0, got {hypothesis_scale}")
         self.refiner = refiner
         self.model_ids = []
         self.trackers = []
@@ -403,9 +651,8 @@ class MultiObjectSession:
             frame_depth, ids, hyps, with_covariance=True
         )
 
-        refined_np = np.asarray(refined)
-        results_np = _host_results(results)
-        cov_np = np.asarray(unc.covariance, np.float64)
+        refined_np, results_np, cov_np = _pull_track_outputs(
+            refined, results, unc)
         steps = []
         for i, tracker in enumerate(self.trackers):
             rows = slice(i * n, (i + 1) * n)
@@ -475,8 +722,16 @@ class MultiObjectSession:
         if motion not in _MOTIONS:
             raise ValueError(f"state has unknown motion {motion!r}")
         self.motion = motion
+        # same invariants __init__ enforces (see TrackingSession.from_state)
         self.n_hypotheses = int(state["n_hypotheses"])
+        if self.n_hypotheses < 1:
+            raise ValueError(
+                f"state n_hypotheses must be >= 1, got {self.n_hypotheses}")
         self.hypothesis_scale = float(state["hypothesis_scale"])
+        if not self.hypothesis_scale > 0.0:
+            raise ValueError(
+                f"state hypothesis_scale must be > 0, got "
+                f"{self.hypothesis_scale}")
         mq = state["min_quality"]
         self.min_quality = None if mq is None else float(mq)
         gc = state["gate_chi2"]

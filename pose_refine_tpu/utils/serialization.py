@@ -26,11 +26,42 @@ _KINDS = {
     "KDTree": KDTree,
     "RegistrationResult": RegistrationResult,
     "PoseTracker": PoseTracker,
+    # tracking sessions resolve lazily (tracking imports pipeline); their
+    # refiners hold device programs and are rebuilt by the caller - load()
+    # needs `refiner=` for these kinds
+    "TrackingSession": None,
+    "MultiObjectSession": None,
 }
+
+# session state_dict values that are plain arrays (everything else - floats,
+# strings, None, tuples - rides in the JSON meta)
+_TRACKER_ARRAY_KEYS = ("T_m", "P", "Q", "T_prev")
+
+
+def _flatten_tracker(state: dict, prefix: str, arrays: dict, static: dict):
+    for k, v in state.items():
+        if k in _TRACKER_ARRAY_KEYS:
+            arrays[f"{prefix}{k}"] = np.asarray(v)
+        else:
+            static[f"{prefix}{k}"] = v
+
+
+def _unflatten_tracker(prefix: str, arrays: dict, static: dict) -> dict:
+    state = {}
+    for k in _TRACKER_ARRAY_KEYS:
+        if f"{prefix}{k}" in arrays:
+            state[k] = arrays[f"{prefix}{k}"]
+    for k, v in static.items():
+        if k.startswith(prefix) and "." not in k[len(prefix):]:
+            state[k[len(prefix):]] = v
+    return state
 
 
 def save(path: str, obj) -> None:
-    """Save a scene / kd-tree / result to ``path`` (.npz)."""
+    """Save a scene / kd-tree / result / tracker / tracking session to
+    ``path`` (.npz). Sessions store their full loop state (filter, rng
+    stream, gate config); reload with ``load(path, refiner=...)`` since
+    refiners hold device programs and are rebuilt, not serialized."""
     kind = type(obj).__name__
     if kind not in _KINDS:
         raise TypeError(f"don't know how to serialize {kind}")
@@ -40,6 +71,16 @@ def save(path: str, obj) -> None:
         state = obj.state_dict()
         meta["static"]["n_rejected"] = state.pop("n_rejected")
         arrays = state
+    elif kind == "TrackingSession":
+        state = obj.state_dict()
+        _flatten_tracker(state.pop("tracker"), "tracker.", arrays,
+                         meta["static"])
+        meta["static"].update(state)
+    elif kind == "MultiObjectSession":
+        state = obj.state_dict()
+        for i, ts in enumerate(state.pop("trackers")):
+            _flatten_tracker(ts, f"tracker{i}.", arrays, meta["static"])
+        meta["static"].update(state)
     elif dataclasses.is_dataclass(obj):
         for f in dataclasses.fields(obj):
             v = getattr(obj, f.name)
@@ -54,11 +95,36 @@ def save(path: str, obj) -> None:
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
 
 
-def load(path: str):
-    """Load an object previously stored with :func:`save`."""
+def load(path: str, refiner=None):
+    """Load an object previously stored with :func:`save`.
+
+    Tracking sessions need ``refiner=`` (a freshly configured PoseRefiner /
+    MultiModelRefiner matching the one the session was built with)."""
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["__meta__"]))
-        cls = _KINDS[meta["kind"]]
+        kind = meta["kind"]
+        if kind in ("TrackingSession", "MultiObjectSession"):
+            if refiner is None:
+                raise ValueError(
+                    f"{kind} needs load(path, refiner=...) - refiners hold "
+                    "device programs and are rebuilt, not serialized")
+            from pose_refine_tpu import tracking
+
+            arrays = {n: z[n] for n in z.files if n != "__meta__"}
+            static = meta["static"]
+            state = {k: (tuple(v) if k == "max_innovation"
+                         and isinstance(v, list) else v)
+                     for k, v in static.items() if "." not in k}
+            if kind == "TrackingSession":
+                state["tracker"] = _unflatten_tracker(
+                    "tracker.", arrays, static)
+                return tracking.TrackingSession.from_state(refiner, state)
+            state["trackers"] = [
+                _unflatten_tracker(f"tracker{i}.", arrays, static)
+                for i in range(len(state["model_ids"]))
+            ]
+            return tracking.MultiObjectSession.from_state(refiner, state)
+        cls = _KINDS[kind]
         kwargs = dict(meta["static"])
         for name in z.files:
             if name == "__meta__":

@@ -1,5 +1,6 @@
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from pose_refine_tpu import geometry, mesh
 from pose_refine_tpu import icp as icp_mod
@@ -178,6 +179,7 @@ def test_icp_empty_scene_returns_identity():
     assert float(result.fitness) == 0.0 and float(result.inlier_rmse) == 0.0
 
 
+@pytest.mark.slow
 def test_golden_recovery_nn_scene():
     """Same golden recovery through the kd-tree NN scene - the reference
     demo's default association (test.cpp:83-86, USE_PROJ disabled)."""

@@ -117,6 +117,7 @@ def test_p2p_ignores_scene_normals(rng):
     assert err_p2l > 10 * err_p2p
 
 
+@pytest.mark.slow
 def test_p2p_golden_recovery_nn_obj06():
     """The reference acceptance recipe (test.cpp:29-44) driven by the p2p
     estimator with NEAREST-NEIGHBOR association on the real obj_06 asset:
@@ -223,6 +224,7 @@ def test_p2p_pose_information_translation_block(rng):
     np.testing.assert_allclose(info[3:, :3], -info[3:, :3].T, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_refiner_estimation_kwarg():
     """PoseRefiner(estimation='point_to_point', scene='nn_bruteforce')
     end-to-end on obj_06: recovers the scene pose through the fused

@@ -61,6 +61,7 @@ def test_refiner_end_to_end(setup):
     assert float(results.fitness) > 0.7
 
 
+@pytest.mark.slow
 def test_refiner_batch_ranking(setup):
     m, K = setup
     pose1, pose2, _ = reference_demo_poses()
@@ -95,6 +96,7 @@ def test_refiner_nn_scene(setup):
     assert float(results.fitness) > 0.7
 
 
+@pytest.mark.slow
 def test_refine_schedule_widens_basin(setup):
     """Coarse-to-fine gate schedule recovers a perturbation too large for the
     single-level 0.1 m gate."""
@@ -330,6 +332,7 @@ def test_multi_model_refiner(setup):
     np.testing.assert_array_equal(dep_multi, dep_single)
 
 
+@pytest.mark.slow
 def test_feature_composition(setup):
     """All the round-2 features composed at once - auto lift sizing +
     decimation + NN scene with voxel downsampling + coarse-to-fine
@@ -465,6 +468,7 @@ def test_multi_model_track(setup):
     assert ang < 4.0
 
 
+@pytest.mark.slow
 def test_multi_model_schedule_and_validation(setup):
     """Regressions from review: (a) schedule= must compose with
     MultiModelRefiner (the schedule recursion used to dispatch to the
@@ -689,6 +693,7 @@ def test_refine_async_fence(setup):
     np.testing.assert_array_equal(np.asarray(rf), np.asarray(fenced))
 
 
+@pytest.mark.slow
 def test_track_nn_scene_fused(setup):
     """track() with an NN scene: the per-frame scene build runs ON DEVICE
     inside the fused program (from_depth_device) and matches the unfused

@@ -128,6 +128,7 @@ def test_converters(scene_setup):
     np.testing.assert_array_equal(np.asarray(m2), mask)
 
 
+@pytest.mark.slow
 def test_reference_mesh_scatter_parity():
     path = mesh.find_reference_ply()
     if path is None:
@@ -208,6 +209,7 @@ def test_pallas_tile16_variant(scene_setup=None):
     assert (got != want).mean() < 1e-4
 
 
+@pytest.mark.slow
 def test_pallas_variants_agree():
     """Every subtile geometry comes from ONE _make_kernel body; the three
     instantiations must produce identical images (they share all arithmetic
@@ -283,6 +285,7 @@ def test_screen_fields_bitwise_equals_screen_triangles():
         np.testing.assert_array_equal(np.asarray(got), want)
 
 
+@pytest.mark.slow
 def test_per_pose_triangle_tables():
     """(N, T, 3, 3) per-pose triangle tables (multi-model batches) must
     rasterize identically to rendering each pose with its own mesh."""

@@ -14,6 +14,7 @@ def test_mesh_has_8_virtual_devices():
     assert len(jax.devices()) == 8  # conftest forces the virtual CPU mesh
 
 
+@pytest.mark.slow
 def test_sharded_refine_matches_single_device():
     K = geometry.LINEMOD_K.copy()
     K[:2] *= 0.25
@@ -73,6 +74,7 @@ def _class_workload(n_poses, seed=7):
     return m, K, scene_depth, np.stack(poses)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ndev", [2, 8])
 def test_poserefiner_class_sharded_matches_single_device(ndev):
     """The production class routed over a 2- and 8-device mesh ==
@@ -111,6 +113,7 @@ def test_poserefiner_auto_devices_stays_single_on_cpu():
     assert r._device_mesh() is None
 
 
+@pytest.mark.slow
 def test_track_class_sharded_matches_single_device():
     """track() (fused per-frame scene build + refine) through the mesh."""
     m, K, scene_depth, poses = _class_workload(5)
@@ -135,6 +138,7 @@ def test_track_class_sharded_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_multimodel_class_sharded_matches_single_device():
     """MultiModelRefiner: per-pose triangle tables shard with their poses
     through the class API, non-divisible batch."""
@@ -184,6 +188,7 @@ def test_shard_pose_batch_layout():
     assert len(sharded.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_per_pose_tris():
     """Multi-model batches (per-pose (N, T, 3, 3) triangle tables) shard
     with their poses over the mesh and match the single-device result."""
@@ -228,6 +233,7 @@ def test_sharded_per_pose_tris():
     np.testing.assert_allclose(np.asarray(res_sh.fitness), np.asarray(res_1.fitness), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_schedule_matches_single_device():
     """Coarse-to-fine schedules re-enter refine() per level; each level must
     route through the mesh and still match single-device exactly."""

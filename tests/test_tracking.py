@@ -255,3 +255,101 @@ def test_session_validation(setup):
     session = prt.TrackingSession(_refiner(m, K), pose2)
     with pytest.raises(ValueError, match="model_id"):
         session.step(np.zeros((H, W), np.int32), model_id=0)
+
+
+def test_session_npz_roundtrip(setup, tmp_path):
+    """utils.serialization persists a TrackingSession to one .npz and
+    load(path, refiner=...) resumes the exact loop (ADVICE r3: the
+    advertised checkpoint path must actually exist)."""
+    from pose_refine_tpu.utils import serialization
+
+    m, K, r = setup
+    _, pose2, _ = reference_demo_poses()
+    refiner = _refiner(m, K)
+    depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+    session = prt.TrackingSession(refiner, pose2, n_hypotheses=2, seed=9,
+                                  max_innovation=(0.5, 0.05))
+    session.step(depth)
+    p = str(tmp_path / "session.npz")
+    serialization.save(p, session)
+    want = session.step(depth).pose
+
+    with pytest.raises(ValueError, match="refiner"):
+        serialization.load(p)
+    resumed = serialization.load(p, refiner=refiner)
+    assert resumed.n_frames == 1
+    assert resumed.max_innovation == (0.5, 0.05)
+    np.testing.assert_array_equal(resumed.step(depth).pose, want)
+
+
+def test_multi_session_npz_roundtrip(multi_setup, tmp_path):
+    from pose_refine_tpu.utils import serialization
+
+    refiner, r_a, r_b, pose_a, pose_b = multi_setup
+    depth = _composite(
+        np.asarray(r_a.render_depth(pose_a))[0].astype(np.int32),
+        np.asarray(r_b.render_depth(pose_b))[0].astype(np.int32))
+    session = prt.MultiObjectSession(
+        refiner, [(0, pose_a), (1, pose_b)], n_hypotheses=2, seed=4)
+    session.step(depth)
+    p = str(tmp_path / "multi.npz")
+    serialization.save(p, session)
+    want = [s.pose for s in session.step(depth)]
+    resumed = serialization.load(p, refiner=refiner)
+    got = [s.pose for s in resumed.step(depth)]
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_from_state_validates_invariants(setup):
+    """A corrupted/hand-edited state must error, not silently degrade
+    (ADVICE r3: n_hypotheses=0 would resume as mean-only tracking)."""
+    m, K, _ = setup
+    _, pose2, _ = reference_demo_poses()
+    refiner = _refiner(m, K)
+    session = prt.TrackingSession(refiner, pose2, n_hypotheses=2)
+    state = session.state_dict()
+    bad = dict(state, n_hypotheses=0)
+    with pytest.raises(ValueError, match="n_hypotheses"):
+        prt.TrackingSession.from_state(refiner, bad)
+    bad = dict(state, hypothesis_scale=-1.0)
+    with pytest.raises(ValueError, match="hypothesis_scale"):
+        prt.TrackingSession.from_state(refiner, bad)
+    with pytest.raises(ValueError, match="hypothesis_scale"):
+        prt.TrackingSession(refiner, pose2, hypothesis_scale=0.0)
+
+
+def test_session_pipelined_step_async(setup):
+    """step_async: one-frame-lagged results, identical filter ordering
+    (predict at fuse time), flush() drains, and mixing without flush()
+    raises instead of silently reordering the filter."""
+    m, K, r = setup
+    _, pose2, _ = reference_demo_poses()
+    session = prt.TrackingSession(_refiner(m, K), pose2, n_hypotheses=3,
+                                  seed=1)
+    rng = np.random.default_rng(7)
+    truth = pose2.copy()
+    truths, steps = [], []
+    for frame in range(5):
+        truth = _drift(truth, rng)
+        truths.append(truth.copy())
+        depth = np.asarray(r.render_depth(truth))[0].astype(np.int32)
+        step = session.step_async(depth)
+        if frame == 0:
+            assert step is None
+            with pytest.raises(RuntimeError, match="flush"):
+                session.state_dict()
+            with pytest.raises(RuntimeError, match="flush"):
+                session.step(depth)
+        else:
+            steps.append(step)
+    steps.append(session.flush())
+    assert session.flush() is None
+    assert session.n_frames == 5 and len(steps) == 5
+    for i, (step, truth) in enumerate(zip(steps, truths)):
+        assert step.accepted, f"frame {i}: clean frame rejected"
+        t_err = np.abs(step.pose[:3, 3] - truth[:3, 3]).max()
+        assert t_err < 6.0, f"frame {i}: lost track ({t_err} mm)"
+    # after flush, synchronous stepping works again
+    assert session.step(np.asarray(r.render_depth(truth))[0].astype(
+        np.int32)).accepted

@@ -112,8 +112,17 @@ def test_fused_matches_standalone_pose_information(setup):
                                np.asarray(info2), atol=2e-2 * scale)
     np.testing.assert_allclose(np.asarray(unc.sigma2), np.asarray(s2_2),
                                rtol=0.05)
-    # and the returned covariance is exactly pose_covariance(info, sigma2)
-    cov2 = icp.pose_covariance(unc.information, unc.sigma2)
+    # and the returned covariance is exactly the render-calibrated
+    # pose_covariance (the pipeline floors sigma2 at the depth + lateral
+    # quantization variance and applies RENDER_COV_INFLATION - icp.py
+    # rationale)
+    v = np.asarray(valids, np.float64)
+    mean_z = (np.abs(np.asarray(final)[..., 2]) * v).sum(-1) / v.sum(-1)
+    lateral = icp.LATERAL_QUANT_COEFF * mean_z / K[0, 0]
+    cov2 = icp.pose_covariance(
+        unc.information, unc.sigma2,
+        inflation=icp.RENDER_COV_INFLATION,
+        sigma2_floor=icp.DEPTH_QUANT_SIGMA_M ** 2 + lateral ** 2)
     np.testing.assert_allclose(np.asarray(unc.covariance), np.asarray(cov2),
                                rtol=1e-4, atol=1e-12)
 
@@ -168,6 +177,7 @@ def test_sharded_with_covariance_matches_single_device(setup):
                                np.asarray(out_1[1].fitness), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_refine_async_with_covariance(setup):
     """The streaming surface returns the uncertainty through PendingResult
     and fence, mixed with batches that did not request it."""
@@ -184,6 +194,7 @@ def test_refine_async_with_covariance(setup):
     _check_unc(unc, 2)
 
 
+@pytest.mark.slow
 def test_schedule_with_covariance_last_level(setup):
     """schedule= computes the uncertainty of the FINAL level's fit."""
     m, K, scene_depth, poses = setup
