@@ -266,6 +266,7 @@ class PoseRefiner:
         decimate_mm: float = 0.0,
         scene_voxel_mm: float = 0.0,
         scene_stride: int = 1,
+        scene_pool="auto",
         robust_delta: float = 0.0,
         reassociate_every: int = 1,
         coarse_iters: int = 0,
@@ -302,10 +303,20 @@ class PoseRefiner:
         # projective scene (its query is an image-space gather, size-free).
         self.scene_voxel_mm = float(scene_voxel_mm)
         # scene_stride: subsampling of the DEVICE-BUILT NN scene grid used
-        # by track() with NN scenes (from_depth_device) - the on-device
-        # analog of scene_voxel_mm (which needs host scatter). No effect on
-        # projective scenes or host-built NN scenes.
+        # by track() with NN scenes (from_depth_device) - the cheap
+        # on-device analog of scene_voxel_mm. No effect on projective
+        # scenes or host-built NN scenes.
         self.scene_stride = int(scene_stride)
+        # scene_pool: centroid-pooling factor of the device-built NN scene
+        # (scene.nn._pool_scene_grid) - the FULL on-device voxel-downsample
+        # equivalent incl. the centroid denoising benefit. "auto" (default)
+        # derives it once from scene_voxel_mm and the first tracked frame's
+        # median object depth, so track() honors the same voxel config as
+        # set_scene_depth (VERDICT r3 #5); an int pins it explicitly.
+        if scene_pool != "auto" and int(scene_pool) < 1:
+            raise ValueError(f"scene_pool must be >= 1, got {scene_pool}")
+        self.scene_pool = scene_pool if scene_pool == "auto" else int(scene_pool)
+        self._scene_pool_cache = None  # resolved "auto" value (static/jit)
         self.K = np.asarray(K, np.float32)
         self.width, self.height = int(width), int(height)
         self.proj = geometry.compute_proj(self.K, self.width, self.height)
@@ -429,12 +440,54 @@ class PoseRefiner:
         # batches exit early. Explicit ints are honored unchanged.
         self.chunk_iters = chunk_iters if chunk_iters == "auto" else int(chunk_iters)
 
-    def _scene_perm(self, frame_shape):
-        """Device-resident Morton permutation of the (strided) scene grid,
-        cached per shape - the NN tracking loop passes it every frame."""
+    def _resolve_scene_pool(self, frame_depth) -> int:
+        """scene_pool="auto": derive the centroid-pooling factor that
+        matches scene_voxel_mm at this sensor's scale, ONCE from the first
+        tracked frame's median object depth (one host numpy pass; the value
+        is a STATIC jit arg, so it must not change frame to frame). A 2 mm
+        voxel at z=0.3 m / fx=572 maps to pool=4 (pixel pitch z/fx). Capped
+        at 8 - beyond that the pooled grid is tiny and the mapping's
+        constant-depth assumption has long broken down."""
+        if self.scene_pool != "auto":
+            return self.scene_pool
+        if self._scene_pool_cache is not None:
+            return self._scene_pool_cache
+        pool = 1
+        if self.scene_voxel_mm > 0.0 and self.scene_stride == 1:
+            frame = frame_depth if isinstance(frame_depth, np.ndarray) else None
+            if frame is not None and frame.size:
+                d = frame[frame > 0]
+                if d.size:
+                    z_med = float(np.median(d)) / 1000.0  # depth mm -> m
+                    px_pitch = z_med / float(self.K[0, 0])
+                    pool = int(round(self.scene_voxel_mm / 1000.0 / px_pitch))
+                    pool = max(1, min(pool, 8))
+                    logger.info(
+                        "track(): scene_voxel_mm=%g mapped to on-device "
+                        "centroid pool=%d (median depth %.0f mm)",
+                        self.scene_voxel_mm, pool, z_med * 1000.0)
+            else:
+                # device-resident frame: deriving the median would cost a
+                # D2H round trip per session - keep the full-res build and
+                # say so (pass scene_pool=<int> to pin it)
+                logger.warning(
+                    "track(): scene_voxel_mm=%g set but the frame is "
+                    "device-resident - cannot auto-derive the pooling "
+                    "factor without a readback; pass scene_pool=<int> "
+                    "(e.g. 4 for a 2 mm voxel at 0.3 m) to downsample "
+                    "the device-built scene.", self.scene_voxel_mm)
+        self._scene_pool_cache = pool
+        return pool
+
+    def _scene_perm(self, frame_shape, pool: int = 1):
+        """Device-resident Morton permutation of the (strided/pooled) scene
+        grid, cached per shape - the NN tracking loop passes it every
+        frame."""
         fh, fw = frame_shape
         s = self.scene_stride
         key = (-(-fh // s), -(-fw // s))
+        if pool > 1:
+            key = (-(-key[0] // pool), -(-key[1] // pool))
         cached = getattr(self, "_scene_perm_cache", None)
         if cached is None or cached[0] != key:
             from pose_refine_tpu.scene.nn import _grid_morton_perm
@@ -924,28 +977,15 @@ class PoseRefiner:
         if with_covariance:
             items = items + (("with_information", True),)
         if not projective:
-            if (self.scene_voxel_mm > 0.0 and self.scene_stride == 1
-                    and not getattr(self, "_warned_track_voxel", False)):
-                # voxel downsampling is host work the fused device build
-                # cannot run - dropping it silently would hand the user a
-                # full-resolution scene (~4x the NN cost of the tuned
-                # config they asked for). Config-constant condition: warn
-                # ONCE, not per tracking frame.
-                self._warned_track_voxel = True
-                logger.warning(
-                    "track() builds the NN scene on device and cannot apply "
-                    "scene_voxel_mm=%g; set scene_stride (e.g. 2-3 "
-                    "approximates a 1-2 mm voxel at typical depths) or use "
-                    "set_scene_depth + refine for the voxel-filtered scene.",
-                    self.scene_voxel_mm,
-                )
-            items = items + (("scene_stride", self.scene_stride),)
+            pool = self._resolve_scene_pool(frame_depth)
+            items = items + (("scene_stride", self.scene_stride),
+                             ("scene_pool", pool))
             # the scene grid's Morton permutation rides along as an
             # ARGUMENT (a trace-time constant this size - up to ~1.2 MB at
             # stride 1 - would be re-shipped per call, CLAUDE.md), and the
             # DEVICE-RESIDENT array is cached per grid shape so repeated
             # frames do not re-upload it either
-            perm = self._scene_perm(frame_depth.shape)
+            perm = self._scene_perm(frame_depth.shape, pool)
         mesh = self._device_mesh()
         if mesh is not None:
             # multi-chip tracking: frame depth replicates (the in-program
@@ -1063,15 +1103,15 @@ def track_poses_jit(
     static_argnames=(
         "width", "height", "max_points", "criteria", "use_pallas",
         "lift", "window", "stride", "roi", "chunk_iters", "robust_delta",
-        "reassociate_every", "scene_stride", "coarse_iters", "coarse_stride",
-        "estimation", "with_information",
+        "reassociate_every", "scene_stride", "scene_pool", "coarse_iters",
+        "coarse_stride", "estimation", "with_information",
     ),
 )
 def track_poses_nn_jit(
     tris, init_poses, frame_depth, proj, K_render, K_full, max_dist, perm,
     width, height, max_points, criteria, use_pallas,
     lift="window", window=256, stride=2, roi=(0, 0, 0, 0), chunk_iters=8,
-    robust_delta=0.0, reassociate_every=1, scene_stride=1,
+    robust_delta=0.0, reassociate_every=1, scene_stride=1, scene_pool=1,
     coarse_iters=0, coarse_stride=2, estimation="point_to_plane",
     with_information=False,
 ):
@@ -1081,9 +1121,11 @@ def track_poses_nn_jit(
     here the whole build is device arithmetic (SceneNN.from_depth_device:
     grid table, far-filled invalid pixels, static Morton order) so it
     traces into the same program as render->lift->ICP. scene_stride
-    subsamples the scene grid (the device analog of voxel downsampling)."""
+    subsamples the scene grid; scene_pool centroid-pools it (the on-device
+    voxel-downsample equivalent - see scene.nn._pool_scene_grid)."""
     scene = SceneNN.from_depth_device(
-        frame_depth, K_full, max_dist, stride=scene_stride, perm=perm
+        frame_depth, K_full, max_dist, stride=scene_stride, perm=perm,
+        pool=scene_pool,
     )
     return refine_poses_jit(
         tris, init_poses, scene, proj, K_render,

@@ -146,6 +146,7 @@ class SceneNN:
     def from_depth_device(
         cls, depth, K, max_dist_diff=0.1, stride: int = 1,
         tl_x: int = 0, tl_y: int = 0, perm=None,
+        pool: int = 1, pool_depth_tol: float = 0.005,
     ) -> "SceneNN":
         """Flash-backend NN scene built ENTIRELY ON DEVICE - jit-traceable,
         so a tracking loop fuses the per-frame scene build into the
@@ -164,12 +165,19 @@ class SceneNN:
 
         Exact: for every query whose true neighbor is a valid pixel within
         the gate, the result equals the host-built scene's. stride > 1
-        subsamples the scene grid (the device analog of voxel_mm).
+        subsamples the scene grid (the device analog of voxel_mm); pool > 1
+        is the on-device analog of CENTROID voxel downsampling
+        (_pool_scene_grid) - it keeps voxel_mm's measured denoising benefit
+        (voxel centroids average away the 1 mm depth quantization,
+        scripts/nn_voxel_study.py) where stride just drops points.
         """
         from pose_refine_tpu.ops.depth_to_cloud import depth_image_to_points
         from pose_refine_tpu.ops.normals import estimate_normals
         from pose_refine_tpu.scene.nn_pallas import chunk_boxes, pack_scene
 
+        if stride > 1 and pool > 1:
+            raise ValueError("stride and pool are alternative downsamplers; "
+                             "set only one > 1")
         depth = jnp.asarray(depth)
         nrm = estimate_normals(depth, K)  # full-res stencil (reference res)
         pts, mask = depth_image_to_points(depth, K, tl_x=tl_x, tl_y=tl_y)
@@ -177,6 +185,9 @@ class SceneNN:
             pts = pts[::stride, ::stride]
             nrm = nrm[::stride, ::stride]
             mask = mask[::stride, ::stride]
+        if pool > 1:
+            pts, nrm, mask = _pool_scene_grid(
+                pts, nrm, mask, int(pool), float(pool_depth_tol))
         h, w = mask.shape
         if perm is None:
             # standalone use: bake the static permutation into the trace.
@@ -274,6 +285,54 @@ def _chunk_boxes_np(scene_table: np.ndarray) -> np.ndarray:
     hi = pts.max(axis=2).T
     z = np.zeros((lo.shape[0], 1), np.float32)
     return np.concatenate([lo, z, hi, z], axis=1).astype(np.float32)
+
+
+def _pool_scene_grid(pts, nrm, mask, pool: int, depth_tol: float):
+    """On-device voxel-equivalent downsampling of a depth-grid scene:
+    depth-aware centroid pooling over pool x pool pixel blocks.
+
+    The scene cloud comes from a pixel GRID, so voxel-centroid
+    downsampling (the host path's scene_voxel_mm, nn.voxel_downsample) maps
+    to average-pooling valid pixels per block - pure lax.reduce_window,
+    no scatter (TPU scatter is ms per ~1k rows, CLAUDE.md; that is exactly
+    why the host voxel filter could not fuse into track() before - VERDICT
+    r3 #5). One refinement over plain pooling: a block that straddles a
+    depth EDGE would average foreground with background into a ghost point
+    between the surfaces (a real 3D voxel grid separates them by z).
+    Depth-aware pooling keeps each block's FOREGROUND sheet: only pixels
+    within depth_tol (meters) of the block's min depth enter the centroid -
+    background points in edge blocks are dropped (benign for association
+    density), never fabricated. depth_tol must cover in-surface depth
+    variation across the block (default 5 mm handles ~45 deg slopes at
+    typical LINEMOD scales); the pooled normal is the renormalized mean of
+    the same pixels' full-res stencil normals, matching voxel_downsample.
+    """
+    h, w = mask.shape
+    ph, pw = (-h) % pool, (-w) % pool
+    if ph or pw:
+        pts = jnp.pad(pts, ((0, ph), (0, pw), (0, 0)))
+        nrm = jnp.pad(nrm, ((0, ph), (0, pw), (0, 0)))
+        mask = jnp.pad(mask, ((0, ph), (0, pw)))
+
+    def pool_sum(img):
+        return jax.lax.reduce_window(
+            img, 0.0, jax.lax.add,
+            (pool, pool) + (1,) * (img.ndim - 2),
+            (pool, pool) + (1,) * (img.ndim - 2), "VALID")
+
+    z = jnp.where(mask, pts[..., 2], jnp.inf)
+    zmin = jax.lax.reduce_window(
+        z, jnp.inf, jax.lax.min, (pool, pool), (pool, pool), "VALID")
+    zmin_up = jnp.repeat(jnp.repeat(zmin, pool, axis=0), pool, axis=1)
+    keep = mask & (pts[..., 2] <= zmin_up + depth_tol)
+    v = keep.astype(jnp.float32)
+    cnt = pool_sum(v)
+    denom = jnp.maximum(cnt, 1.0)[..., None]
+    pts_c = pool_sum(pts * v[..., None]) / denom
+    n_sum = pool_sum(nrm * v[..., None])
+    n_len = jnp.linalg.norm(n_sum, axis=-1, keepdims=True)
+    nrm_c = n_sum / jnp.maximum(n_len, 1e-12)
+    return pts_c, nrm_c, cnt > 0.0
 
 
 @jax.jit
