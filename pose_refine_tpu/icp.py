@@ -375,6 +375,15 @@ def _icp_run(
     """
     cloud = jnp.asarray(cloud, jnp.float32)
     valid = jnp.asarray(valid, bool)
+    # anchor padded rows to a REAL point instead of the origin: their
+    # contribution is exactly zero either way (every reduction multiplies
+    # by `q_valid & valid`, so AtA/Atb/count/mse are bit-identical), but
+    # origin rows 0.3 m off the surface inflate the flash-NN kernel's
+    # query-tile bounds to the full association gate and defeat its
+    # chunk pruning (nn_pallas._kernel_gated). All-invalid clouds keep
+    # row 0 and hit the count==0 abort as before.
+    anchor = cloud[jnp.argmax(valid)]
+    cloud = jnp.where(valid[:, None], cloud, anchor)
     n_total = jnp.sum(valid).astype(jnp.float32) if n_points is None else jnp.asarray(n_points, jnp.float32)
     max_iter = criteria.max_iteration
 

@@ -145,9 +145,10 @@ GQ_TILE = 512  # queries per grid step for the gated kernel (tighter tile
                # bboxes prune more chunks than the plain kernel's 1024)
 
 
-def _kernel_gated(gate_ref, boxes_ref, scene_ref, q_ref, idx_ref, dist_ref,
-                  best_ref, bchunk_ref, *, group: int):
-    """Flash-NN with bbox pruning against the association gate.
+def _kernel_gated(gate_ref, boxes_ref, cents_ref, scene_ref, q_ref,
+                  idx_ref, dist_ref, best_ref, bchunk_ref, *, group: int):
+    """Flash-NN with bbox pruning against the association gate AND a
+    per-tile nearest-neighbor distance upper bound.
 
     The reference query accepts a neighbor only if dist^2 < max_dist_diff^2
     (pcd_scene.h:127), so a scene chunk whose bbox is farther than the gate
@@ -156,6 +157,18 @@ def _kernel_gated(gate_ref, boxes_ref, scene_ref, q_ref, idx_ref, dist_ref,
     to the reference's kd-tree pruning (SURVEY step-5 fallback): work scales
     with the scene actually near the object, not total scene size, while
     control flow stays a predicated dense scan (no divergent traversal).
+
+    The gate alone cannot prune an object-sized scene (a 0.1 m gate covers
+    the whole object), so a cheap FIRST pass over per-chunk (center,
+    radius) balls bounds every query's true NN distance from above:
+    ub(q) = min_k |q - c_k| + r_k. Any chunk whose bbox lies farther than
+    max_q min(ub(q), gate) from the tile cannot contain ANY tile query's
+    in-gate nearest neighbor (the true NN of q sits at d(q) <= ub(q), so
+    its chunk's bbox distance is <= d(q) <= the tile radius - ties
+    included, so the kept index is unchanged). The pass costs ~n_chunks/128
+    chunk-sized scans; the pruning it unlocks scales the main loop with the
+    scene near the QUERY PATCH, not the scene inside the gate (VERDICT r3
+    #8: the kd-query-side pruning the dense scan was missing).
 
     Boxes gate GROUPS of `group` chunks: SMEM scalars pad to 16 bytes each,
     so per-chunk boxes overflow the ~1 MB SMEM budget past ~2000 chunks
@@ -172,6 +185,31 @@ def _kernel_gated(gate_ref, boxes_ref, scene_ref, q_ref, idx_ref, dist_ref,
     gate2 = gate_ref[0, 0]
     n_groups = boxes_ref.shape[0]
 
+    # ---- pass 1: per-tile NN-distance upper bound from chunk balls ----
+    n_cch = cents_ref.shape[1] // S_CHUNK
+
+    def ub_body(cc, ub):
+        off = pl.multiple_of(cc * S_CHUNK, S_CHUNK)
+        cx = cents_ref[0:1, pl.ds(off, S_CHUNK)]
+        cy = cents_ref[1:2, pl.ds(off, S_CHUNK)]
+        cz = cents_ref[2:3, pl.ds(off, S_CHUNK)]
+        cr = cents_ref[3:4, pl.ds(off, S_CHUNK)]
+        dx = qx - cx
+        dy = qy - cy
+        dz = qz - cz
+        d = jnp.sqrt(dx * dx + dy * dy + dz * dz) + cr
+        return jnp.minimum(ub, d)
+
+    ub = jax.lax.fori_loop(
+        0, n_cch, ub_body, jnp.full((GQ_TILE, S_CHUNK), BIG, jnp.float32)
+    )
+    gate = jnp.sqrt(gate2)
+    # per-query bound clamped to the gate BEFORE the tile max: one query
+    # with no nearby scene (it is invalid under the gate regardless) must
+    # not widen the whole tile's radius past the gate
+    tile_r = jnp.max(jnp.minimum(jnp.min(ub, axis=1), gate))
+    tile_r2 = tile_r * tile_r
+
     best_ref[...] = jnp.full((GQ_TILE, S_CHUNK), BIG, jnp.float32)
     bchunk_ref[...] = jnp.zeros((GQ_TILE, S_CHUNK), jnp.int32)
 
@@ -179,7 +217,7 @@ def _kernel_gated(gate_ref, boxes_ref, scene_ref, q_ref, idx_ref, dist_ref,
         dx = jnp.maximum(jnp.maximum(boxes_ref[g, 0] - qhi_x, qlo_x - boxes_ref[g, 4]), 0.0)
         dy = jnp.maximum(jnp.maximum(boxes_ref[g, 1] - qhi_y, qlo_y - boxes_ref[g, 5]), 0.0)
         dz = jnp.maximum(jnp.maximum(boxes_ref[g, 2] - qhi_z, qlo_z - boxes_ref[g, 6]), 0.0)
-        reachable = dx * dx + dy * dy + dz * dz <= gate2
+        reachable = dx * dx + dy * dy + dz * dz <= tile_r2
 
         @pl.when(reachable)
         def _():
@@ -238,6 +276,22 @@ def nn_flash_gated(queries, scene_table, boxes, max_dist, interpret: bool = Fals
         jnp.asarray(max_dist, jnp.float32) * jnp.asarray(max_dist, jnp.float32),
         (1, 1),
     )
+    # per-chunk bounding BALLS for the kernel's NN-distance upper-bound
+    # pass, as an (8, Nc_pad) VMEM table [cx, cy, cz, r]: center = bbox
+    # center, r = half-diagonal (covers every point in the chunk). Padded
+    # lanes sit 1e18 away with r = 0 so they never lower the bound.
+    ctr = 0.5 * (boxes[:, :3] + boxes[:, 4:7])
+    rad = 0.5 * jnp.linalg.norm(boxes[:, 4:7] - boxes[:, :3], axis=1,
+                                keepdims=True)
+    cents = jnp.concatenate(
+        [ctr, rad, jnp.zeros((ctr.shape[0], 4), jnp.float32)], axis=1)
+    cpad = (-cents.shape[0]) % S_CHUNK
+    if cpad:
+        far = jnp.concatenate(
+            [jnp.full((cpad, 3), 1.0e18), jnp.zeros((cpad, 5))], axis=1
+        ).astype(jnp.float32)
+        cents = jnp.concatenate([cents, far], axis=0)
+    cents = cents.T  # (8, Nc_pad)
     # SMEM scalars pad to 16 B each; keep the box table <= ~1024 rows by
     # gating GROUPS of chunks for very large scenes (group 1 = per-chunk)
     n_chunks = boxes.shape[0]
@@ -264,6 +318,9 @@ def nn_flash_gated(queries, scene_table, boxes, max_dist, interpret: bool = Fals
                 (boxes.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
+                (8, cents.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
                 (8, scene_table.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((GQ_TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -281,5 +338,5 @@ def nn_flash_gated(queries, scene_table, boxes, max_dist, interpret: bool = Fals
             pltpu.VMEM((GQ_TILE, S_CHUNK), jnp.int32),
         ],
         interpret=interpret,
-    )(gate2, boxes, scene_table, qtab)
+    )(gate2, boxes, cents, scene_table, qtab)
     return idx[:nq, 0].reshape(q.shape[:-1]), dist[:nq, 0].reshape(q.shape[:-1])

@@ -14,6 +14,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# Persistent compile cache for the CPU test platform (VERDICT r3 #6: the
+# suite must stay cheap enough to run before every snapshot). Tests are
+# seeded deterministically, so the traced programs repeat run-to-run and
+# the cache hit rate is ~total. Separate dir from the TPU .jax_cache: CPU
+# executables are host-feature-specific and must not mix with entries an
+# other-host toolchain wrote.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 import zlib  # noqa: E402
 

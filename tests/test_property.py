@@ -113,6 +113,49 @@ def test_nn_flash_gated_matches_plain_within_gate():
     assert (d1[~inside] >= gate * gate).all()
 
 
+def test_nn_flash_gated_tile_bound_pruning_stays_exact():
+    """The gated kernel's per-tile NN-distance upper bound (VERDICT r3 #8)
+    prunes chunks beyond max_q min(|q-c|+r) - adversarial checks that the
+    pruning never changes an in-gate result: clustered query tiles (max
+    pruning pressure), exact ties across distant chunks, and whole tiles
+    with no in-gate neighbor."""
+    import jax.numpy as jnp
+
+    from pose_refine_tpu.scene.nn_pallas import (
+        GQ_TILE, chunk_boxes, nn_flash_gated, nn_flash_packed, pack_scene,
+    )
+
+    rng = np.random.default_rng(23)
+    # scene: two spatially separated slabs, index-sorted so chunks are tight
+    a = rng.normal(size=(3000, 3)).astype(np.float32) * 0.05
+    b = rng.normal(size=(3000, 3)).astype(np.float32) * 0.05 + [0.5, 0.0, 0.0]
+    S = np.concatenate([a, b])
+    S = S[np.lexsort((S[:, 0], S[:, 1], S[:, 2]))]
+    # exact tie: duplicate one slab-a point into slab-b's index range
+    S[4500] = S[100]
+    table = pack_scene(S)
+    boxes = chunk_boxes(table)
+    gate = 0.06
+
+    # tile 0: tightly clustered around slab a (tile bound << gate);
+    # tile 1: around slab b; tile 2: far from everything (all out-of-gate)
+    q0 = (rng.normal(size=(GQ_TILE, 3)) * 0.01).astype(np.float32)
+    q0[7] = S[100]  # exact-tie query: smallest global index must win
+    q1 = (rng.normal(size=(GQ_TILE, 3)) * 0.01 + [0.5, 0, 0]).astype(np.float32)
+    q2 = (rng.normal(size=(GQ_TILE, 3)) * 0.01 + [0, 5.0, 0]).astype(np.float32)
+    Q = np.concatenate([q0, q1, q2])
+
+    i0, d0 = nn_flash_packed(Q, table, interpret=True)
+    i1, d1 = nn_flash_gated(Q, table, boxes, gate, interpret=True)
+    i0, d0, i1, d1 = map(np.asarray, (i0, d0, i1, d1))
+    inside = d0 < gate * gate
+    assert inside[:GQ_TILE].all() and not inside[2 * GQ_TILE:].any()
+    np.testing.assert_array_equal(i0[inside], i1[inside])
+    np.testing.assert_array_equal(d0[inside], d1[inside])
+    assert i0[7] == min(100, 4500) == i1[7]  # tie kept the smaller index
+    assert (d1[~inside] >= gate * gate).all()
+
+
 def test_grid_morton_perm_is_permutation_and_local():
     from pose_refine_tpu.scene.nn import _grid_morton_perm
 
