@@ -612,47 +612,42 @@ class MultiObjectSession:
         self.max_innovation = max_innovation
         self._rng = np.random.default_rng(seed)
         self.n_frames = 0
+        self._inflight = None  # step_async's pending (packed, has_np, motions)
 
     @property
     def poses(self) -> np.ndarray:
         """(K, 4, 4) current fused estimates, translation in mm."""
         return np.stack([t.pose_mm for t in self.trackers])
 
-    def step(self, frame_depth, motions_mm=None) -> list:
-        """Consume one depth frame; returns one :class:`TrackStep` per
-        object (``refined``/``results``/``best`` are that object's rows of
-        the fused batch).
-
-        motions_mm: optional per-object external motion increments - a
-        sequence of K entries, each a (4, 4) LEFT-applied camera-frame
-        increment or None (that object falls back to the session's motion
-        model for this frame).
-        """
+    def _check_motions(self, motions_mm):
         k = len(self.trackers)
         if motions_mm is None:
             motions_mm = [None] * k
         if len(motions_mm) != k:
             raise ValueError(f"{len(motions_mm)} motions for {k} objects")
-        n = self.n_hypotheses
-        hyp_blocks = []
-        for tracker, motion_mm in zip(self.trackers, motions_mm):
-            if motion_mm is not None:
-                tracker.predict(motion_mm)
-            elif self.motion == "constant_velocity":
-                tracker.predict_cv()
-            else:
-                tracker.predict()
-            hyp_blocks.append(
-                tracker.hypotheses(n, scale=self.hypothesis_scale, seed=self._rng)
-            )
-        hyps = np.concatenate(hyp_blocks)  # (K*n, 4, 4)
-        ids = np.repeat(np.asarray(self.model_ids, np.int32), n)
-        refined, results, unc = self.refiner.track(
-            frame_depth, ids, hyps, with_covariance=True
-        )
+        return list(motions_mm)
 
-        refined_np, results_np, cov_np = _pull_track_outputs(
-            refined, results, unc)
+    def _advance(self, tracker: PoseTracker, motion_mm):
+        if motion_mm is not None:
+            tracker.predict(motion_mm)
+        elif self.motion == "constant_velocity":
+            tracker.predict_cv()
+        else:
+            tracker.predict()
+
+    def _track_batch(self, frame_depth, hyp_blocks, async_: bool):
+        """One fused dispatch over every object's hypothesis block."""
+        hyps = np.concatenate(hyp_blocks)  # (K*n, 4, 4)
+        ids = np.repeat(np.asarray(self.model_ids, np.int32),
+                        self.n_hypotheses)
+        if async_:
+            return self.refiner.track_async(
+                frame_depth, ids, hyps, with_covariance=True)
+        return self.refiner.track(frame_depth, ids, hyps, with_covariance=True)
+
+    def _fuse_all(self, refined_np, results_np, cov_np) -> list:
+        """Slice the fused batch per object and gate/fuse each tracker."""
+        n = self.n_hypotheses
         steps = []
         for i, tracker in enumerate(self.trackers):
             rows = slice(i * n, (i + 1) * n)
@@ -679,9 +674,87 @@ class MultiObjectSession:
         self.n_frames += 1
         return steps
 
+    def step(self, frame_depth, motions_mm=None) -> list:
+        """Consume one depth frame; returns one :class:`TrackStep` per
+        object (``refined``/``results``/``best`` are that object's rows of
+        the fused batch).
+
+        motions_mm: optional per-object external motion increments - a
+        sequence of K entries, each a (4, 4) LEFT-applied camera-frame
+        increment or None (that object falls back to the session's motion
+        model for this frame).
+        """
+        if self._inflight is not None:
+            raise RuntimeError(
+                "a step_async frame is still in flight - call flush() "
+                "before synchronous step()"
+            )
+        motions_mm = self._check_motions(motions_mm)
+        hyp_blocks = []
+        for tracker, motion_mm in zip(self.trackers, motions_mm):
+            self._advance(tracker, motion_mm)
+            hyp_blocks.append(tracker.hypotheses(
+                self.n_hypotheses, scale=self.hypothesis_scale,
+                seed=self._rng))
+        refined, results, unc = self._track_batch(
+            frame_depth, hyp_blocks, async_=False)
+        return self._fuse_all(*_pull_track_outputs(refined, results, unc))
+
+    # -- pipelined (double-buffered) stepping: the multi-object twin of
+    # TrackingSession.step_async (which see for the latency/staleness
+    # trade). One fused dispatch per frame for ALL objects, enqueued before
+    # the previous frame's fence - device execution overlaps readback +
+    # K-object fusion + the next frame's host prep.
+
+    def _fuse_inflight(self) -> Optional[list]:
+        if self._inflight is None:
+            return None
+        packed, has_np, motions_mm = self._inflight
+        self._inflight = None
+        for tracker, motion_mm in zip(self.trackers, motions_mm):
+            self._advance(tracker, motion_mm)
+        return self._fuse_all(*_unpack_outputs(np.asarray(packed), has_np))
+
+    def step_async(self, frame_depth, motions_mm=None) -> Optional[list]:
+        """Pipelined tracking: enqueue this frame's fused program, then
+        fence + fuse the PREVIOUS frame and return its per-object
+        :class:`TrackStep` list (None on the first call). Call
+        :meth:`flush` after the last frame to collect the final steps."""
+        motions_mm = self._check_motions(motions_mm)
+        inflight_motions = (
+            self._inflight[2] if self._inflight is not None
+            else [None] * len(self.trackers)
+        )
+        hyp_blocks = []
+        for tracker, m_in, m_now in zip(
+                self.trackers, inflight_motions, motions_mm):
+            tmp = PoseTracker.from_state(tracker.state_dict())
+            if self._inflight is not None:
+                self._advance(tmp, m_in)
+            self._advance(tmp, m_now)
+            hyp_blocks.append(tmp.hypotheses(
+                self.n_hypotheses, scale=self.hypothesis_scale,
+                seed=self._rng))
+        pending = self._track_batch(frame_depth, hyp_blocks, async_=True)
+        packed, has_np = _pack_on_device(
+            pending.refined, pending.results, pending.uncertainty)
+        prev = self._fuse_inflight()
+        self._inflight = (packed, has_np, motions_mm)
+        return prev
+
+    def flush(self) -> Optional[list]:
+        """Fence + fuse the last step_async frame (None if nothing is in
+        flight)."""
+        return self._fuse_inflight()
+
     def state_dict(self):
         """Exact loop state; ``from_state(refiner, state)`` resumes
         bit-exactly (see TrackingSession.state_dict)."""
+        if self._inflight is not None:
+            raise RuntimeError(
+                "a step_async frame is still in flight - call flush() "
+                "before state_dict()"
+            )
         return {
             "model_ids": list(self.model_ids),
             "trackers": [t.state_dict() for t in self.trackers],
@@ -741,4 +814,5 @@ class MultiObjectSession:
         self._rng = np.random.default_rng(0)
         self._rng.bit_generator.state = json.loads(str(state["rng_state_json"]))
         self.n_frames = int(state["n_frames"])
+        self._inflight = None
         return self

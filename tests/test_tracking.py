@@ -353,3 +353,46 @@ def test_session_pipelined_step_async(setup):
     # after flush, synchronous stepping works again
     assert session.step(np.asarray(r.render_depth(truth))[0].astype(
         np.int32)).accepted
+
+
+def test_multi_object_pipelined_step_async(multi_setup):
+    """MultiObjectSession.step_async: the pipelined twin of step() - one
+    fused dispatch for ALL objects enqueued before the previous frame's
+    fence; results lag one frame; filter ordering identical (per-tracker
+    predict at fuse time); flush() drains; mixing without flush raises."""
+    refiner, r_a, r_b, pose_a, pose_b = multi_setup
+    session = prt.MultiObjectSession(
+        refiner, [(0, pose_a), (1, pose_b)], n_hypotheses=3, seed=1)
+    rng = np.random.default_rng(13)
+    truth_a, truth_b = pose_a.copy(), pose_b.copy()
+    truths, all_steps = [], []
+    for frame in range(4):
+        truth_a = _drift(truth_a, rng, rot=0.015, trans=2.0)
+        truth_b = _drift(truth_b, rng, rot=0.015, trans=2.0)
+        truths.append((truth_a.copy(), truth_b.copy()))
+        depth = _composite(
+            np.asarray(r_a.render_depth(truth_a))[0].astype(np.int32),
+            np.asarray(r_b.render_depth(truth_b))[0].astype(np.int32))
+        steps = session.step_async(depth)
+        if frame == 0:
+            assert steps is None
+            with pytest.raises(RuntimeError, match="flush"):
+                session.state_dict()
+            with pytest.raises(RuntimeError, match="flush"):
+                session.step(depth)
+        else:
+            all_steps.append(steps)
+    all_steps.append(session.flush())
+    assert session.flush() is None
+    assert session.n_frames == 4 and len(all_steps) == 4
+    for i, (steps, (ta, tb)) in enumerate(zip(all_steps, truths)):
+        assert len(steps) == 2
+        for step, truth in zip(steps, (ta, tb)):
+            assert step.accepted, f"frame {i}: clean frame rejected"
+            t_err = np.abs(step.pose[:3, 3] - truth[:3, 3]).max()
+            assert t_err < 6.0, f"frame {i}: lost an object ({t_err} mm)"
+    # after flush, synchronous stepping works again
+    depth = _composite(
+        np.asarray(r_a.render_depth(truth_a))[0].astype(np.int32),
+        np.asarray(r_b.render_depth(truth_b))[0].astype(np.int32))
+    assert all(s.accepted for s in session.step(depth))
