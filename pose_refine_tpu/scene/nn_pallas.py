@@ -146,7 +146,8 @@ GQ_TILE = 512  # queries per grid step for the gated kernel (tighter tile
 
 
 def _kernel_gated(gate_ref, boxes_ref, cents_ref, scene_ref, q_ref,
-                  idx_ref, dist_ref, best_ref, bchunk_ref, *, group: int):
+                  idx_ref, dist_ref, best_ref, bchunk_ref, *, group: int,
+                  use_tile_bound: bool = True):
     """Flash-NN with bbox pruning against the association gate AND a
     per-tile nearest-neighbor distance upper bound.
 
@@ -186,29 +187,34 @@ def _kernel_gated(gate_ref, boxes_ref, cents_ref, scene_ref, q_ref,
     n_groups = boxes_ref.shape[0]
 
     # ---- pass 1: per-tile NN-distance upper bound from chunk balls ----
-    n_cch = cents_ref.shape[1] // S_CHUNK
+    # (use_tile_bound=False falls back to gate-only pruning - the A/B
+    # baseline for scripts/nn_tile_bound_study.py)
+    if use_tile_bound:
+        n_cch = cents_ref.shape[1] // S_CHUNK
 
-    def ub_body(cc, ub):
-        off = pl.multiple_of(cc * S_CHUNK, S_CHUNK)
-        cx = cents_ref[0:1, pl.ds(off, S_CHUNK)]
-        cy = cents_ref[1:2, pl.ds(off, S_CHUNK)]
-        cz = cents_ref[2:3, pl.ds(off, S_CHUNK)]
-        cr = cents_ref[3:4, pl.ds(off, S_CHUNK)]
-        dx = qx - cx
-        dy = qy - cy
-        dz = qz - cz
-        d = jnp.sqrt(dx * dx + dy * dy + dz * dz) + cr
-        return jnp.minimum(ub, d)
+        def ub_body(cc, ub):
+            off = pl.multiple_of(cc * S_CHUNK, S_CHUNK)
+            cx = cents_ref[0:1, pl.ds(off, S_CHUNK)]
+            cy = cents_ref[1:2, pl.ds(off, S_CHUNK)]
+            cz = cents_ref[2:3, pl.ds(off, S_CHUNK)]
+            cr = cents_ref[3:4, pl.ds(off, S_CHUNK)]
+            dx = qx - cx
+            dy = qy - cy
+            dz = qz - cz
+            d = jnp.sqrt(dx * dx + dy * dy + dz * dz) + cr
+            return jnp.minimum(ub, d)
 
-    ub = jax.lax.fori_loop(
-        0, n_cch, ub_body, jnp.full((GQ_TILE, S_CHUNK), BIG, jnp.float32)
-    )
-    gate = jnp.sqrt(gate2)
-    # per-query bound clamped to the gate BEFORE the tile max: one query
-    # with no nearby scene (it is invalid under the gate regardless) must
-    # not widen the whole tile's radius past the gate
-    tile_r = jnp.max(jnp.minimum(jnp.min(ub, axis=1), gate))
-    tile_r2 = tile_r * tile_r
+        ub = jax.lax.fori_loop(
+            0, n_cch, ub_body, jnp.full((GQ_TILE, S_CHUNK), BIG, jnp.float32)
+        )
+        gate = jnp.sqrt(gate2)
+        # per-query bound clamped to the gate BEFORE the tile max: one
+        # query with no nearby scene (it is invalid under the gate
+        # regardless) must not widen the whole tile's radius past the gate
+        tile_r = jnp.max(jnp.minimum(jnp.min(ub, axis=1), gate))
+        tile_r2 = tile_r * tile_r
+    else:
+        tile_r2 = gate2
 
     best_ref[...] = jnp.full((GQ_TILE, S_CHUNK), BIG, jnp.float32)
     bchunk_ref[...] = jnp.zeros((GQ_TILE, S_CHUNK), jnp.int32)
@@ -254,8 +260,9 @@ def _kernel_gated(gate_ref, boxes_ref, cents_ref, scene_ref, q_ref,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def nn_flash_gated(queries, scene_table, boxes, max_dist, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "use_tile_bound"))
+def nn_flash_gated(queries, scene_table, boxes, max_dist,
+                   interpret: bool = False, use_tile_bound: bool = True):
     """Gate-exact NN: identical to nn_flash_packed for every query whose true
     NN lies within max_dist; queries with no scene point inside the gate get
     dist_sq = BIG (invalid under the gate either way).
@@ -310,7 +317,8 @@ def nn_flash_gated(queries, scene_table, boxes, max_dist, interpret: bool = Fals
         )
     grid = (qtab.shape[0] // GQ_TILE,)
     idx, dist = pl.pallas_call(
-        functools.partial(_kernel_gated, group=group),
+        functools.partial(_kernel_gated, group=group,
+                          use_tile_bound=use_tile_bound),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
