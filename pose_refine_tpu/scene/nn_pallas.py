@@ -260,9 +260,11 @@ def _kernel_gated(gate_ref, boxes_ref, cents_ref, scene_ref, q_ref,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "use_tile_bound"))
+@functools.partial(jax.jit, static_argnames=(
+    "interpret", "use_tile_bound", "_max_box_rows"))
 def nn_flash_gated(queries, scene_table, boxes, max_dist,
-                   interpret: bool = False, use_tile_bound: bool = True):
+                   interpret: bool = False, use_tile_bound: bool = True,
+                   _max_box_rows: int = 1024):
     """Gate-exact NN: identical to nn_flash_packed for every query whose true
     NN lies within max_dist; queries with no scene point inside the gate get
     dist_sq = BIG (invalid under the gate either way).
@@ -300,9 +302,10 @@ def nn_flash_gated(queries, scene_table, boxes, max_dist,
         cents = jnp.concatenate([cents, far], axis=0)
     cents = cents.T  # (8, Nc_pad)
     # SMEM scalars pad to 16 B each; keep the box table <= ~1024 rows by
-    # gating GROUPS of chunks for very large scenes (group 1 = per-chunk)
+    # gating GROUPS of chunks for very large scenes (group 1 = per-chunk;
+    # _max_box_rows is only lowered by tests to cover the merge path)
     n_chunks = boxes.shape[0]
-    group = -(-n_chunks // 1024)
+    group = -(-n_chunks // _max_box_rows)
     if group > 1:
         pad = (-n_chunks) % group
         if pad:

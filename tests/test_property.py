@@ -156,6 +156,37 @@ def test_nn_flash_gated_tile_bound_pruning_stays_exact():
     assert (d1[~inside] >= gate * gate).all()
 
 
+def test_nn_flash_gated_group_merge_path_exact():
+    """Very large scenes gate GROUPS of chunks (SMEM box rows are capped);
+    the merge must stay exact with AND without the tile bound. Covered at
+    small scale by lowering the internal row cap (group = 10 here)."""
+    import jax.numpy as jnp
+
+    from pose_refine_tpu.scene.nn_pallas import (
+        chunk_boxes, nn_flash_gated, nn_flash_packed, pack_scene,
+    )
+
+    rng = np.random.default_rng(31)
+    S = (rng.normal(size=(5000, 3)) * 0.08).astype(np.float32)
+    S = S[np.lexsort((S[:, 0], S[:, 1], S[:, 2]))]
+    Q = (rng.normal(size=(1024, 3)) * 0.08).astype(np.float32)
+    table = pack_scene(S)
+    boxes = chunk_boxes(table)
+    gate = 0.05
+
+    i0, d0 = nn_flash_packed(Q, table, interpret=True)
+    inside = np.asarray(d0) < gate * gate
+    assert inside.any()
+    for tb in (True, False):
+        i1, d1 = nn_flash_gated(Q, table, boxes, gate, interpret=True,
+                                use_tile_bound=tb, _max_box_rows=4)
+        np.testing.assert_array_equal(np.asarray(i0)[inside],
+                                      np.asarray(i1)[inside])
+        np.testing.assert_array_equal(np.asarray(d0)[inside],
+                                      np.asarray(d1)[inside])
+        assert (np.asarray(d1)[~inside] >= gate * gate).all()
+
+
 def test_grid_morton_perm_is_permutation_and_local():
     from pose_refine_tpu.scene.nn import _grid_morton_perm
 
