@@ -71,8 +71,8 @@ def depth_to_cloud(depth, K, max_points: int, stride: int = 1, tl_x: int = 0, tl
     return compact_points(pts, mask, max_points)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "spread"))
-def compact_topk(pts, valid, k: int, spread: bool = True):
+@functools.partial(jax.jit, static_argnames=("k", "spread", "order_shape"))
+def compact_topk(pts, valid, k: int, spread: bool = True, order_shape=None):
     """Scatter-free compaction: keep k valid points via top_k over a rank
     key + one gather. top_k is well-optimized on TPU (MoE routing); scatter
     is not - this replaces compact_points on hot paths.
@@ -82,7 +82,16 @@ def compact_topk(pts, valid, k: int, spread: bool = True):
     kept subset is spatially uniform; the first-k-in-scan-order alternative
     (spread=False, compact_points semantics) would keep only the TOP of the
     object and bias the ICP normal equations. When nothing overflows, both
-    keep the identical (complete) valid set."""
+    keep the identical (complete) valid set.
+
+    order_shape=(sh, sw): the input rows are a raster of that grid - emit
+    the kept rows in MORTON order of their grid slot instead of hash-rank
+    order. Which points are kept is unchanged (pure output permutation;
+    every downstream reduction is order-invariant), but consecutive rows
+    become spatially LOCAL: the flash-NN kernel bounds whole query tiles
+    (nn_pallas._kernel_gated), and hash-ordered rows hand it tiles that
+    span the entire object - no tile bound can prune anything then. Costs
+    one (k,)-key argsort per pose; only the NN pipeline asks for it."""
     p = pts.shape[0]
     r = jnp.arange(p, dtype=jnp.int32)
     if spread:
@@ -91,6 +100,23 @@ def compact_topk(pts, valid, k: int, spread: bool = True):
         rank = r
     key = jnp.where(valid, -rank, -(p + r))  # all valid outrank all invalid
     _, idx = jax.lax.top_k(key, k)
+    if order_shape is not None:
+        import numpy as np
+
+        from pose_refine_tpu.scene.nn import _grid_morton_perm
+
+        sh, sw = order_shape
+        if sh * sw != p:
+            raise ValueError(f"order_shape {order_shape} != {p} input rows")
+        perm = _grid_morton_perm(sh, sw)  # (p,) morton position -> slot
+        mrank = np.empty(p, np.int32)
+        mrank[perm] = np.arange(p, dtype=np.int32)  # slot -> morton rank
+        # invalid kept rows sort AFTER every valid one (their slots are
+        # arbitrary; keeping them interleaved would loosen the tiles)
+        mkey = jnp.take(jnp.asarray(mrank), idx)
+        v_pre = jnp.take(valid, idx)
+        order = jnp.argsort(jnp.where(v_pre, mkey, p + mkey))
+        idx = jnp.take(idx, order)
     out = jnp.take(pts, idx, axis=0)
     v = jnp.take(valid, idx, axis=0)
     return jnp.where(v[:, None], out, 0.0), v, jnp.sum(valid)

@@ -114,15 +114,32 @@ def refine_poses_jit(
         # rows (TPU scatter makes exclusive-scan compaction ~10x ICP's cost)
         from pose_refine_tpu.ops.depth_to_cloud import compact_topk, window_cloud_batched
 
-        n_window = (-(-min(window, out_h) // stride)) * (-(-min(window, out_w) // stride))
+        wh = -(-min(window, out_h) // stride)
+        ww = -(-min(window, out_w) // stride)
+        n_window = wh * ww
 
         clouds, valids, _n = window_cloud_batched(
             depth, K, window=window, stride=stride, tl_x=roi[0], tl_y=roi[1]
         )
+        # NN scenes: emit clouds in MORTON order of the window grid so the
+        # flash kernel's query tiles are square-ish local patches - hash/
+        # scan order hands it tiles spanning the whole object, which no
+        # tile-level bound can prune (nn_pallas._kernel_gated). Projective
+        # association is an image gather: order is irrelevant there, skip
+        # the reorder cost. Static decision: the scene TYPE is trace-time.
+        nn_order = isinstance(scene, SceneNN)
         if max_points < n_window:
             clouds, valids, _n = jax.vmap(
-                lambda p, v: compact_topk(p, v, max_points)
+                lambda p, v: compact_topk(
+                    p, v, max_points,
+                    order_shape=(wh, ww) if nn_order else None)
             )(clouds, valids)
+        elif nn_order:
+            from pose_refine_tpu.scene.nn import _grid_morton_perm
+
+            perm = jnp.asarray(_grid_morton_perm(wh, ww))
+            clouds = jnp.take(clouds, perm, axis=1)
+            valids = jnp.take(valids, perm, axis=1)
     else:
         def one_lift(d):
             # the rendered depth is an ROI crop when roi is set; unproject

@@ -144,3 +144,49 @@ def test_window_cloud_batched_matches_vmap():
     # ulp-level tolerance: XLA rewrites the mm->m division to a
     # reciprocal multiply under vmap but not in the batched layout
     np.testing.assert_allclose(np.asarray(p0), np.asarray(p1), atol=1e-6)
+
+
+def test_compact_topk_morton_order_same_set_tighter_tiles(rng):
+    """order_shape emits the kept rows in Morton order of their window
+    slot: identical kept SET (pure permutation), valid rows first, and
+    consecutive-row locality strictly better than the hash order (the
+    property the flash-NN tile bound depends on)."""
+    import jax.numpy as jnp
+
+    from pose_refine_tpu.ops.depth_to_cloud import compact_topk
+
+    sh, sw = 32, 32
+    pts = rng.uniform(-0.1, 0.1, (sh * sw, 3)).astype(np.float32)
+    # embed grid geometry so spatial locality is measurable: x, y follow
+    # the slot's (row, col)
+    yy, xx = np.divmod(np.arange(sh * sw), sw)
+    pts[:, 0] = xx * 0.01
+    pts[:, 1] = yy * 0.01
+    valid = rng.random(sh * sw) < 0.7
+    k = 512
+
+    oh, vh, nh = compact_topk(jnp.asarray(pts), jnp.asarray(valid), k)
+    om, vm, nm = compact_topk(jnp.asarray(pts), jnp.asarray(valid), k,
+                              order_shape=(sh, sw))
+    oh, vh, om, vm = map(np.asarray, (oh, vh, om, vm))
+    assert int(nh) == int(nm)
+    # same kept set of valid points
+    set_h = {tuple(p) for p in oh[vh]}
+    set_m = {tuple(p) for p in om[vm]}
+    assert set_h == set_m and len(set_m) == min(k, valid.sum())
+    # valid rows first
+    assert vm[: vm.sum()].all() and not vm[vm.sum():].any()
+    # locality: mean consecutive-row distance in Morton order far below hash
+    def mean_step(o, v):
+        q = o[v]
+        return np.linalg.norm(np.diff(q, axis=0), axis=1).mean()
+
+    assert mean_step(om, vm) < 0.5 * mean_step(oh, vh), (
+        mean_step(om, vm), mean_step(oh, vh))
+
+    # validation: wrong grid size errors
+    import pytest
+
+    with pytest.raises(ValueError, match="order_shape"):
+        compact_topk(jnp.asarray(pts), jnp.asarray(valid), k,
+                     order_shape=(3, 5))
