@@ -38,6 +38,18 @@ N_POSES = 8 if SMOKE else 256
 INTERP = jax.default_backend() == "cpu"
 
 
+def _morton_xyz(p, bits=10):
+    """Morton codes of quantized xyz (host numpy) - orders the standalone
+    query sample the way the production lift orders cloud rows."""
+    q = ((p - p.min(0)) / max(np.ptp(p, 0).max(), 1e-9)
+         * ((1 << bits) - 1)).astype(np.uint64)
+    code = np.zeros(len(p), np.uint64)
+    for b in range(bits):
+        for a in range(3):
+            code |= ((q[:, a] >> np.uint64(b)) & np.uint64(1)) << np.uint64(3 * b + a)
+    return code
+
+
 def main():
     model = mesh.load_benchmark_model()
     K = geometry.LINEMOD_K.copy()
@@ -62,34 +74,44 @@ def main():
     scene_depth = np.asarray(r.render_depth(truth))[0].astype(np.int32)
 
     # ---- kernel-level A/B on the real distribution ----
-    from pose_refine_tpu.ops.depth_to_cloud import depth_to_cloud
+    # HOST-built scene + lift-shaped queries: no full-frame TPU scatter
+    # (depth_to_cloud/compact_points wedged the tunnel on 2026-08-19 -
+    # novel standalone compiles are a hazard; stay near production shapes)
+    from pose_refine_tpu.ops.depth_to_cloud import window_cloud
+    from pose_refine_tpu.scene.nn import SceneNN
     from pose_refine_tpu.scene.nn_pallas import (
         chunk_boxes, nn_flash_gated, nn_flash_packed, pack_scene)
 
-    sc_cloud, sc_valid, _ = depth_to_cloud(scene_depth, K, max_points=32768)
-    sc = np.asarray(sc_cloud)[np.asarray(sc_valid)]
+    scene_host = SceneNN.from_depth(scene_depth, K, backend="bruteforce")
+    sc = np.asarray(scene_host.points)
     table = pack_scene(jnp.asarray(sc))
     boxes = chunk_boxes(table)
     q_depth = np.asarray(r.render_depth(poses[0]))[0].astype(np.int32)
-    qc, qv, _ = depth_to_cloud(q_depth, K, max_points=32768)
+    qc, qv, _ = window_cloud(jnp.asarray(q_depth), K,
+                             window=256 if not SMOKE else 96, stride=2)
     q = np.asarray(qc)[np.asarray(qv)]
-    # replicate to the bench's per-iteration query volume (256 x 2048)
-    reps = 1 if SMOKE else max(1, (N_POSES * 2048) // len(q))
+    # a few tiles' worth of REAL query distribution (Morton-ordered like
+    # the production lift), modest size - huge standalone shapes are novel
+    # compiles, and the pipeline arms below measure the production shape
+    q = q[np.argsort(_morton_xyz(q))]
+    reps = 1 if SMOKE else max(1, 65536 // len(q))
     Q = jnp.asarray(np.tile(q, (reps, 1)))
     print(f"kernel A/B: {Q.shape[0]} queries vs {len(sc)} scene points "
-          f"({boxes.shape[0]} chunks)")
+          f"({boxes.shape[0]} chunks)", flush=True)
 
     def run_kernel(tag, **kw):
+        print(f"  compiling {tag}...", flush=True)
         f = lambda: nn_flash_gated(Q, table, boxes, 0.1, interpret=INTERP, **kw)
         out = f(); sync(out)
         t0 = time.perf_counter(); out = f(); sync(out)
         wall = time.perf_counter() - t0
         print(f"  {tag:>14}: {wall*1000:7.2f} ms "
-              f"({Q.shape[0]/wall/1e6:6.1f} Mq/s)")
+              f"({Q.shape[0]/wall/1e6:6.1f} Mq/s)", flush=True)
         return out
 
     i_off, d_off = run_kernel("gate-only", use_tile_bound=False)
     i_on, d_on = run_kernel("tile-bound", use_tile_bound=True)
+    print("  compiling plain reference kernel...", flush=True)
     i_ref, d_ref = nn_flash_packed(Q, table, interpret=INTERP)
     inside = np.asarray(d_ref) < 0.1 * 0.1
     for tag, ii, dd in (("gate-only", i_off, d_off), ("tile-bound", i_on, d_on)):
@@ -108,6 +130,7 @@ def main():
     poses_dev = jax.device_put(jnp.asarray(poses))
 
     for vox, tag in ((0.0, "raw cloud"), (2.0, "voxel 2mm")):
+        print(f"pipeline {tag}: building + compiling...", flush=True)
         ref = prt.PoseRefiner(model, K=K, width=W, height=H,
                               use_pallas=use_pallas, scene="nn_bruteforce",
                               scene_voxel_mm=vox, **CFG)
