@@ -71,6 +71,32 @@ def depth_to_cloud(depth, K, max_points: int, stride: int = 1, tl_x: int = 0, tl
     return compact_points(pts, mask, max_points)
 
 
+# morton codes of a 14-bit (row, col) grid occupy bits 0..27; adding the
+# cap keeps invalid-row keys above every valid one without int32 overflow
+_MORTON_CODE_CAP = jnp.int32(1 << 28)
+
+
+def morton_key(idx, sh: int, sw: int):
+    """Morton (Z-curve) code of row-major slot indices over an (sh, sw)
+    grid, computed in-program (uint32 bit spreading on the VPU - no host
+    permutation table enters the trace). Monotone in morton rank: sorting
+    by this key IS sorting by scene/nn._grid_morton_perm's rank."""
+    if max(sh, sw) > (1 << 14):
+        raise ValueError(
+            f"grid ({sh}, {sw}) exceeds 14-bit morton key range")
+    r = (idx // sw).astype(jnp.uint32)
+    c = (idx % sw).astype(jnp.uint32)
+
+    def spread(v):  # interleave 16 bits with 1-bit gaps
+        v = (v | (v << 8)) & jnp.uint32(0x00FF00FF)
+        v = (v | (v << 4)) & jnp.uint32(0x0F0F0F0F)
+        v = (v | (v << 2)) & jnp.uint32(0x33333333)
+        v = (v | (v << 1)) & jnp.uint32(0x55555555)
+        return v
+
+    return (spread(c) | (spread(r) << jnp.uint32(1))).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "spread", "order_shape"))
 def compact_topk(pts, valid, k: int, spread: bool = True, order_shape=None):
     """Scatter-free compaction: keep k valid points via top_k over a rank
@@ -101,21 +127,19 @@ def compact_topk(pts, valid, k: int, spread: bool = True, order_shape=None):
     key = jnp.where(valid, -rank, -(p + r))  # all valid outrank all invalid
     _, idx = jax.lax.top_k(key, k)
     if order_shape is not None:
-        import numpy as np
-
-        from pose_refine_tpu.scene.nn import _grid_morton_perm
-
         sh, sw = order_shape
         if sh * sw != p:
             raise ValueError(f"order_shape {order_shape} != {p} input rows")
-        perm = _grid_morton_perm(sh, sw)  # (p,) morton position -> slot
-        mrank = np.empty(p, np.int32)
-        mrank[perm] = np.arange(p, dtype=np.int32)  # slot -> morton rank
+        # Sorting by the morton CODE of each kept slot equals sorting by its
+        # morton rank (codes are unique, argsort is stable) - and the code
+        # is a handful of in-program bitwise ops on the kept indices, not a
+        # (p,) host table baked into the trace (big closure constants get
+        # re-shipped through the tunnel per call, CLAUDE.md).
+        mkey = morton_key(idx, sh, sw)
         # invalid kept rows sort AFTER every valid one (their slots are
         # arbitrary; keeping them interleaved would loosen the tiles)
-        mkey = jnp.take(jnp.asarray(mrank), idx)
         v_pre = jnp.take(valid, idx)
-        order = jnp.argsort(jnp.where(v_pre, mkey, p + mkey))
+        order = jnp.argsort(jnp.where(v_pre, mkey, _MORTON_CODE_CAP + mkey))
         idx = jnp.take(idx, order)
     out = jnp.take(pts, idx, axis=0)
     v = jnp.take(valid, idx, axis=0)

@@ -135,9 +135,15 @@ def refine_poses_jit(
                     order_shape=(wh, ww) if nn_order else None)
             )(clouds, valids)
         elif nn_order:
-            from pose_refine_tpu.scene.nn import _grid_morton_perm
+            # nothing to compact: a pure morton reorder of the full window
+            # grid. argsort of the in-program codes (a pure function of
+            # iota - XLA folds it at compile time) instead of a baked host
+            # permutation table, which would be re-shipped per call on
+            # tunneled runtimes (CLAUDE.md closure-constant rule).
+            from pose_refine_tpu.ops.depth_to_cloud import morton_key
 
-            perm = jnp.asarray(_grid_morton_perm(wh, ww))
+            code = morton_key(jnp.arange(n_window, dtype=jnp.int32), wh, ww)
+            perm = jnp.argsort(code)
             clouds = jnp.take(clouds, perm, axis=1)
             valids = jnp.take(valids, perm, axis=1)
     else:
@@ -446,8 +452,11 @@ class PoseRefiner:
                 "point-to-point, or keep point_to_plane for projective."
             )
         self.estimation = estimation
-        # one deferred saturation check per frame (see _warn_if_saturated)
+        # one deferred saturation check per frame (see _warn_if_saturated);
+        # _suppress_saturation parks it during async enqueues WITHOUT
+        # consuming it (the check fires on the next synchronous call)
         self._check_saturation = False
+        self._suppress_saturation = False
         # ICP early-exit granularity; >= max_iteration+1 means one fused
         # program (best for straggler-bound batches), small chunks re-check
         # convergence on the host between dispatches. "auto" picks per
@@ -471,19 +480,7 @@ class PoseRefiner:
             return self._scene_pool_cache
         pool = 1
         if self.scene_voxel_mm > 0.0 and self.scene_stride == 1:
-            frame = frame_depth if isinstance(frame_depth, np.ndarray) else None
-            if frame is not None and frame.size:
-                d = frame[frame > 0]
-                if d.size:
-                    z_med = float(np.median(d)) / 1000.0  # depth mm -> m
-                    px_pitch = z_med / float(self.K[0, 0])
-                    pool = int(round(self.scene_voxel_mm / 1000.0 / px_pitch))
-                    pool = max(1, min(pool, 8))
-                    logger.info(
-                        "track(): scene_voxel_mm=%g mapped to on-device "
-                        "centroid pool=%d (median depth %.0f mm)",
-                        self.scene_voxel_mm, pool, z_med * 1000.0)
-            else:
+            if isinstance(frame_depth, jax.Array):
                 # device-resident frame: deriving the median would cost a
                 # D2H round trip per session - keep the full-res build and
                 # say so (pass scene_pool=<int> to pin it)
@@ -493,6 +490,28 @@ class PoseRefiner:
                     "factor without a readback; pass scene_pool=<int> "
                     "(e.g. 4 for a 2 mm voxel at 0.3 m) to downsample "
                     "the device-built scene.", self.scene_voxel_mm)
+            else:
+                # any host-side input (numpy, list, ...) - not just ndarray
+                frame = np.asarray(frame_depth)
+                d = frame[frame > 0] if frame.size else frame
+                if d.size:
+                    z_med = float(np.median(d)) / 1000.0  # depth mm -> m
+                    px_pitch = z_med / float(self.K[0, 0])
+                    pool = int(round(self.scene_voxel_mm / 1000.0 / px_pitch))
+                    pool = max(1, min(pool, 8))
+                    logger.info(
+                        "track(): scene_voxel_mm=%g mapped to on-device "
+                        "centroid pool=%d (median depth %.0f mm)",
+                        self.scene_voxel_mm, pool, z_med * 1000.0)
+                else:
+                    # unrepresentative first frame (occlusion/detector gap):
+                    # do NOT cache - derive from the next frame that has
+                    # valid depth (one extra compile when pool changes)
+                    logger.warning(
+                        "track(): frame has no valid depth - scene_pool "
+                        "derivation deferred to the next frame with data "
+                        "(this frame builds the scene at full resolution)")
+                    return pool
         self._scene_pool_cache = pool
         return pool
 
@@ -566,7 +585,11 @@ class PoseRefiner:
         frame (first refine after _prepare_frame): the readback of the
         per-pose valid counts costs one tunnel round-trip, too dear to pay
         per call in a streaming loop."""
-        if not self._check_saturation or results.n_points is None:
+        if (
+            self._suppress_saturation
+            or not self._check_saturation
+            or results.n_points is None
+        ):
             return
         self._check_saturation = False
         peak = int(np.max(np.asarray(results.n_points)))
@@ -940,12 +963,11 @@ class PoseRefiner:
         serving intent, README.md:15, expressed as XLA async dispatch).
         The once-per-frame lift-saturation readback is deferred to the next
         synchronous refine() - nothing on this path blocks."""
-        check = self._check_saturation
-        self._check_saturation = False
+        self._suppress_saturation = True
         try:
             out = self.refine(init_poses, criteria, **kwargs)
         finally:
-            self._check_saturation = check
+            self._suppress_saturation = False
         return PendingResult(*out)
 
     def track(
@@ -1060,13 +1082,17 @@ class PoseRefiner:
         enqueue frame k+1's fused program before fencing frame k -
         TrackingSession.step_async builds the double-buffered loop on
         this. Same arguments as :meth:`track` (works through
-        MultiModelRefiner's model_ids signature too)."""
-        check = self._check_saturation
-        self._check_saturation = False
+        MultiModelRefiner's model_ids signature too). The suppress flag
+        (not a save/restore of _check_saturation) is essential here:
+        track() -> _prepare_frame re-arms the check per frame, and a
+        save/restore would let _warn_if_saturated's np.max readback run
+        INSIDE the async call - a full device fence per enqueued frame
+        that serializes the double-buffered loop."""
+        self._suppress_saturation = True
         try:
             out = self.track(*args, **kwargs)
         finally:
-            self._check_saturation = check
+            self._suppress_saturation = False
         return PendingResult(*out)
 
     @staticmethod

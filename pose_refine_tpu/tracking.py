@@ -65,17 +65,18 @@ class TrackStep(NamedTuple):
     covariance: np.ndarray
 
 
-def _host_results(results: icp.RegistrationResult) -> icp.RegistrationResult:
-    """One D2H per leaf, ONCE - every later slice/rank is host numpy (eager
-    jnp slicing costs a ~28 ms dispatch EACH on tunneled runtimes)."""
-    return icp.RegistrationResult(
-        transformation=np.asarray(results.transformation),
-        fitness=np.asarray(results.fitness),
-        inlier_rmse=np.asarray(results.inlier_rmse),
-        n_points=(
-            None if results.n_points is None else np.asarray(results.n_points)
-        ),
-    )
+def _advance_tracker(tracker: PoseTracker, motion: str, motion_mm) -> None:
+    """One motion-model time update: an explicit odometry increment wins,
+    else the session's configured model. THE single advance used by both
+    sessions' step/step_async/fuse paths and the hypothesis-sampling
+    extrapolation - they must extrapolate identically or the pipelined
+    path's filter-ordering guarantee silently breaks."""
+    if motion_mm is not None:
+        tracker.predict(motion_mm)
+    elif motion == "constant_velocity":
+        tracker.predict_cv()
+    else:
+        tracker.predict()
 
 
 @jax.jit
@@ -325,28 +326,26 @@ class TrackingSession:
                 "a step_async frame is still in flight - call flush() "
                 "before synchronous step()"
             )
-        if motion_mm is not None:
-            self.tracker.predict(motion_mm)
-        elif self.motion == "constant_velocity":
-            self.tracker.predict_cv()
-        else:
-            self.tracker.predict()
-
-        hyps = self.tracker.hypotheses(
-            self.n_hypotheses, scale=self.hypothesis_scale, seed=self._rng
-        )
+        # validate BEFORE mutating the filter/rng: a failed call must leave
+        # the session resumable exactly as it was (see step_async)
         if isinstance(self.refiner, MultiModelRefiner):
             if model_id is None:
                 raise ValueError(
                     "refiner is a MultiModelRefiner: step() needs model_id"
                 )
+        elif model_id is not None:
+            raise ValueError("model_id is only valid with MultiModelRefiner")
+        self._advance(self.tracker, motion_mm)
+
+        hyps = self.tracker.hypotheses(
+            self.n_hypotheses, scale=self.hypothesis_scale, seed=self._rng
+        )
+        if isinstance(self.refiner, MultiModelRefiner):
             ids = np.full((hyps.shape[0],), int(model_id), np.int32)
             refined, results, unc = self.refiner.track(
                 frame_depth, ids, hyps, with_covariance=True
             )
         else:
-            if model_id is not None:
-                raise ValueError("model_id is only valid with MultiModelRefiner")
             refined, results, unc = self.refiner.track(
                 frame_depth, hyps, with_covariance=True
             )
@@ -377,14 +376,7 @@ class TrackingSession:
     # XLA-async-dispatch expression of the same intent.
 
     def _advance(self, tracker: PoseTracker, motion_mm):
-        """One motion-model time update on `tracker` (shared by the fuse
-        path and the sampling extrapolation)."""
-        if motion_mm is not None:
-            tracker.predict(motion_mm)
-        elif self.motion == "constant_velocity":
-            tracker.predict_cv()
-        else:
-            tracker.predict()
+        _advance_tracker(tracker, self.motion, motion_mm)
 
     def _sample_ahead(self, motion_mm):
         """Hypotheses for the NEXT enqueued frame: the current belief
@@ -433,20 +425,25 @@ class TrackingSession:
                     use(step.pose)
             use(session.flush().pose)
         """
-        hyps = self._sample_ahead(motion_mm)
+        # validate BEFORE _sample_ahead consumes the hypothesis rng stream:
+        # a failed call must not mutate session state, or a corrected retry
+        # samples different hypotheses than an error-free run (breaking the
+        # from_state bit-exact-resume contract)
         if isinstance(self.refiner, MultiModelRefiner):
             if model_id is None:
                 raise ValueError(
                     "refiner is a MultiModelRefiner: step_async() needs "
                     "model_id"
                 )
+        elif model_id is not None:
+            raise ValueError("model_id is only valid with MultiModelRefiner")
+        hyps = self._sample_ahead(motion_mm)
+        if isinstance(self.refiner, MultiModelRefiner):
             ids = np.full((hyps.shape[0],), int(model_id), np.int32)
             pending = self.refiner.track_async(
                 frame_depth, ids, hyps, with_covariance=True
             )
         else:
-            if model_id is not None:
-                raise ValueError("model_id is only valid with MultiModelRefiner")
             pending = self.refiner.track_async(
                 frame_depth, hyps, with_covariance=True
             )
@@ -628,12 +625,7 @@ class MultiObjectSession:
         return list(motions_mm)
 
     def _advance(self, tracker: PoseTracker, motion_mm):
-        if motion_mm is not None:
-            tracker.predict(motion_mm)
-        elif self.motion == "constant_velocity":
-            tracker.predict_cv()
-        else:
-            tracker.predict()
+        _advance_tracker(tracker, self.motion, motion_mm)
 
     def _track_batch(self, frame_depth, hyp_blocks, async_: bool):
         """One fused dispatch over every object's hypothesis block."""

@@ -99,9 +99,12 @@ def main():
         refined, results = ref.track(depth, hyps)
         sync((refined, results.fitness))
         wall = time.perf_counter() - t0
+        # explicit ints never populate _scene_pool_cache (only the "auto"
+        # path does) - resolve the pool the same way track() did
+        pool = (ref.scene_pool if isinstance(ref.scene_pool, int)
+                else ref._scene_pool_cache or 1)
         report(tag, ref, refined, results, wall,
-               ref._scene_perm(depth.shape,
-                               ref._scene_pool_cache or 1).shape[0])
+               ref._scene_perm(depth.shape, pool).shape[0])
 
     def run_host_voxel(tag, vox):
         ref = prt.PoseRefiner(obj, **common, scene_voxel_mm=vox)

@@ -190,3 +190,28 @@ def test_compact_topk_morton_order_same_set_tighter_tiles(rng):
     with pytest.raises(ValueError, match="order_shape"):
         compact_topk(jnp.asarray(pts), jnp.asarray(valid), k,
                      order_shape=(3, 5))
+
+
+def test_morton_key_matches_permutation_table_order():
+    """morton_key (in-program bit spreading - nothing baked into the trace)
+    must sort row-major slots exactly as scene.nn._grid_morton_perm's rank
+    table does: compact_topk's ordering switched from the table to these
+    keys to stop re-shipping a (p,) closure constant per call (CLAUDE.md)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from pose_refine_tpu.ops.depth_to_cloud import morton_key
+    from pose_refine_tpu.scene.nn import _grid_morton_perm
+
+    for sh, sw in [(4, 4), (7, 5), (48, 64), (1, 3), (33, 1)]:
+        p = sh * sw
+        perm = _grid_morton_perm(sh, sw)
+        mrank = np.empty(p, np.int64)
+        mrank[perm] = np.arange(p)
+        code = np.asarray(morton_key(jnp.arange(p, dtype=jnp.int32), sh, sw))
+        assert code.min() >= 0 and code.max() < (1 << 28)
+        np.testing.assert_array_equal(
+            np.argsort(code, kind="stable"), np.argsort(mrank, kind="stable")
+        )
+    with pytest.raises(ValueError, match="morton"):
+        morton_key(jnp.arange(4, dtype=jnp.int32), (1 << 14) + 1, 1)

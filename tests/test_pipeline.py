@@ -817,3 +817,27 @@ def test_cluttered_scene_two_objects(setup):
     # occluded A: translation recovered, rotation degrades but bounded
     assert errA[1] < 6.0, f"occluded A translation: {errA}"
     assert errA[0] < 30.0, f"occluded A rotation unbounded: {errA}"
+
+
+def test_track_async_defers_saturation_fence(setup):
+    """track_async must not run the once-per-frame lift-saturation readback
+    (a full device fence) inside the enqueue: track() -> _prepare_frame
+    re-arms the check per frame, so a save/restore of the flag around the
+    call would still let _warn_if_saturated fence mid-enqueue, serializing
+    the double-buffered sessions. The armed flag SURVIVING track_async
+    proves no readback ran; the next synchronous call consumes it."""
+    m, K = setup
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    d = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+    refiner = prt.PoseRefiner(m, K=K, width=W, height=H, max_points=4096,
+                              use_pallas=False, window=64, stride=1)
+    pending = refiner.track_async(d, pose1)
+    assert refiner._suppress_saturation is False
+    assert refiner._check_saturation is True, (
+        "async enqueue consumed the deferred saturation check (it fenced)")
+    refined_async = np.asarray(pending.refined)
+    tracked, _res = refiner.track(d, pose1)
+    assert refiner._check_saturation is False, (
+        "synchronous track() must consume the deferred check")
+    np.testing.assert_allclose(refined_async, np.asarray(tracked), atol=1e-5)

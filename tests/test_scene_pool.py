@@ -136,3 +136,29 @@ def test_scene_pool_validation():
         SceneNN.from_depth_device(
             np.zeros((8, 8), np.int32), geometry.LINEMOD_K,
             stride=2, pool=2)
+
+
+def test_scene_pool_auto_defers_on_empty_first_frame(caplog):
+    """An unrepresentative first frame (no valid depth: occlusion/detector
+    gap) must NOT pin pool=1 for the session's lifetime - derivation
+    defers to the next frame with data. Host inputs that are not ndarrays
+    (plain lists) must still derive, not be misread as device-resident."""
+    import logging
+
+    m = mesh.make_icosphere(radius=30.0, subdivisions=2)
+    K = geometry.LINEMOD_K.copy()
+    K[:2] *= 0.25
+    r = prt.PoseRefiner(m, K=K, width=W, height=H, scene="nn_bruteforce",
+                        scene_voxel_mm=8.0, use_pallas=False)
+    with caplog.at_level(logging.WARNING):
+        pool = r._resolve_scene_pool(np.zeros((H, W), np.int32))
+    assert pool == 1
+    assert r._scene_pool_cache is None, "empty frame must not cache"
+    assert any("deferred" in rec.message for rec in caplog.records)
+    # 8 mm voxel at 600 mm depth, fx ~143: pixel pitch ~4.2 mm -> pool 2
+    frame = np.full((H, W), 600, np.int32)
+    pool = r._resolve_scene_pool(frame.tolist())  # a plain list is host data
+    assert pool == 2
+    assert r._scene_pool_cache == 2, "valid frame derives and caches"
+    # cached: later empty frames keep the derived factor
+    assert r._resolve_scene_pool(np.zeros((H, W), np.int32)) == 2

@@ -396,3 +396,35 @@ def test_multi_object_pipelined_step_async(multi_setup):
         np.asarray(r_a.render_depth(truth_a))[0].astype(np.int32),
         np.asarray(r_b.render_depth(truth_b))[0].astype(np.int32))
     assert all(s.accepted for s in session.step(depth))
+
+
+def _assert_state_equal(a, b, path=""):
+    assert a.keys() == b.keys(), path
+    for k in a:
+        va, vb = a[k], b[k]
+        if isinstance(va, dict):
+            _assert_state_equal(va, vb, f"{path}{k}.")
+        elif isinstance(va, np.ndarray):
+            np.testing.assert_array_equal(va, vb, err_msg=f"{path}{k}")
+        else:
+            assert va == vb, f"{path}{k}: {va} != {vb}"
+
+
+def test_failed_step_does_not_mutate_session(setup):
+    """A step()/step_async() call that fails validation must leave the
+    session byte-identical (filter, hypothesis rng stream, frame count):
+    otherwise a corrected retry samples a different stream than an
+    error-free run, breaking the bit-exact-resume contract the
+    serialization tests pin."""
+    m, K, _ = setup
+    _, pose2, _ = reference_demo_poses()
+    session = prt.TrackingSession(_refiner(m, K), pose2, n_hypotheses=3,
+                                  seed=1)
+    before = session.state_dict()
+    depth = np.zeros((H, W), np.int32)
+    with pytest.raises(ValueError, match="model_id"):
+        session.step(depth, model_id=0)
+    with pytest.raises(ValueError, match="model_id"):
+        session.step_async(depth, model_id=0)
+    assert session._inflight is None
+    _assert_state_equal(before, session.state_dict())
