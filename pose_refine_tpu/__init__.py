@@ -35,7 +35,13 @@ from pose_refine_tpu.icp import (  # noqa: F401
     pose_covariance,
     PoseUncertainty,
 )
-from pose_refine_tpu.scene import SceneProjective, SceneNN, KDTree, build_kdtree  # noqa: F401
+from pose_refine_tpu.scene import (  # noqa: F401
+    SceneProjective,
+    SceneProjectiveStack,
+    SceneNN,
+    KDTree,
+    build_kdtree,
+)
 from pose_refine_tpu.utils.fusion import PoseTracker  # noqa: F401
 from pose_refine_tpu.tracking import (  # noqa: F401
     MultiObjectSession,

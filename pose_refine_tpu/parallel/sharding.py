@@ -129,6 +129,7 @@ def refine_poses_sharded(
 def _sharded_fn(
     kind, mesh, axis, width, height, max_points, criteria, use_pallas,
     scene_treedef=None, pipeline_items=(), tris_per_pose=False,
+    has_scene_ids=False,
 ):
     """Build (and cache) the jitted sharded program for the fused refine
     (kind='refine') or the fused per-frame scene-build+refine
@@ -160,6 +161,10 @@ def _sharded_fn(
             repl,                                        # proj
             repl,                                        # K
         )
+        if has_scene_ids:
+            # per-pose frame index into a stacked multi-frame scene table:
+            # shards with its poses (the table itself replicates)
+            in_shardings = in_shardings + (shard,)
     else:  # track: scene built in-program from the replicated frame depth
         fn = track_poses_jit if kind == "track" else track_poses_nn_jit
         in_shardings = (

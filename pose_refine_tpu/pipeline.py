@@ -57,6 +57,8 @@ def refine_poses_jit(
     scene,
     proj,
     K,
+    scene_ids=None,
+    *,
     width: int,
     height: int,
     max_points: int,
@@ -168,14 +170,22 @@ def refine_poses_jit(
             f"got {estimation!r}"
         )
 
-    def one(cloud, valid):
+    def one(cloud, valid, sid=None):
+        # per-pose scene routing: sid picks the frame in a stacked
+        # multi-frame table (scene.query_at adds sid*H*W to the row
+        # gather - same gather count as the single-scene query)
+        q = scene.query if sid is None else scene.query_at(sid)
         return icp_fn(
-            cloud, valid, scene.query, criteria, chunk_iters=chunk_iters,
+            cloud, valid, q, criteria, chunk_iters=chunk_iters,
             robust_delta=robust_delta, reassociate_every=reassociate_every,
             coarse_iters=coarse_iters, coarse_stride=coarse_stride,
         )
 
-    results, _clouds = jax.vmap(one)(clouds, valids)
+    if scene_ids is None:
+        results, _clouds = jax.vmap(one)(clouds, valids)
+    else:
+        results, _clouds = jax.vmap(one)(
+            clouds, valids, jnp.asarray(scene_ids, jnp.int32))
     # ICP acts on camera-space clouds in meters (depth2cloud's mm -> m,
     # common.h:53); poses carry mm translations, so scale t_icp back to mm
     # before left-composing onto the model->camera pose.
@@ -185,13 +195,18 @@ def refine_poses_jit(
         return refined, results
     # one extra association pass at the FINAL (already transformed) clouds
     # returned by the ICP loop - the same J rows the last solve used
-    def one_info(cloud, valid):
+    def one_info(cloud, valid, sid=None):
+        q = scene.query if sid is None else scene.query_at(sid)
         return icp.pose_information(
-            cloud, valid, scene.query,
+            cloud, valid, q,
             robust_delta=robust_delta, estimation=estimation,
         )
 
-    info, sigma2, count = jax.vmap(one_info)(_clouds, valids)
+    if scene_ids is None:
+        info, sigma2, count = jax.vmap(one_info)(_clouds, valids)
+    else:
+        info, sigma2, count = jax.vmap(one_info)(
+            _clouds, valids, jnp.asarray(scene_ids, jnp.int32))
     # render-calibrated, not the pure Laplace: rendered-pipeline residuals
     # are quantization-correlated, which the curvature underestimates by
     # ~3x std (NEES 84-384 raw; icp.RENDER_COV_INFLATION rationale +
@@ -806,6 +821,42 @@ class PoseRefiner:
         )
         return self
 
+    def set_scene_depths(self, scene_depths):
+        """Build ONE stacked scene from (K, H, W) mm depth frames so a
+        single refine() dispatch can route each hypothesis to its own frame
+        via ``scene_ids`` (heterogeneous-scene serving: the reference needs
+        a CUDA stream per scene frame, README.md:15 / cuda_icp/icp.cu:170;
+        here the frames share one flat table and each pose's row gather is
+        offset by its frame index - no padding, no extra gather cost).
+
+        Projective scenes only (the NN backends bind per-scene search
+        structures); frame planning (auto ROI/window/points) uses the
+        UNION of the frames' objects via a max-projection, so every frame's
+        object stays inside the crop."""
+        if self.scene_kind != "projective":
+            raise ValueError(
+                "set_scene_depths (stacked multi-frame scenes) supports "
+                f"scene='projective' only, not {self.scene_kind!r}; refine "
+                "NN scenes per frame (refine_async overlaps the dispatches)"
+            )
+        frames = np.asarray(scene_depths)
+        if frames.ndim != 3 or frames.shape[0] < 1:
+            raise ValueError(
+                f"set_scene_depths wants (K, H, W) frames, got {frames.shape}"
+            )
+        # union planning frame: max over frames keeps every object pixel
+        self._prepare_frame(frames.max(axis=0))
+        from pose_refine_tpu.scene.projective import SceneProjectiveStack
+
+        self.scene = SceneProjectiveStack.from_depths(
+            frames, self.K, self.max_dist_diff
+        )
+        logger.info(
+            "scene built: kind=projective x%d frames (stacked)",
+            self.scene.n_scenes,
+        )
+        return self
+
     def set_scene_cloud(self, points, normals):
         """NN scene directly from a point cloud. Backend selection matches
         set_scene_depth (see _nn_backend)."""
@@ -835,10 +886,16 @@ class PoseRefiner:
         criteria: icp.ICPConvergenceCriteria = icp.ICPConvergenceCriteria(),
         schedule=None,
         with_covariance: bool = False,
+        scene_ids=None,
         _scene=None,
         _tris=None,
     ):
         """(N, 4, 4) hypotheses -> (refined (N, 4, 4), RegistrationResult).
+
+        scene_ids: required after :meth:`set_scene_depths` - (N,) int frame
+        index per hypothesis, routing each pose to its own scene frame
+        inside ONE fused program (the reference needs a CUDA stream per
+        scene for this, README.md:15).
 
         schedule: optional coarse-to-fine association schedule - a list of
         (max_dist_diff_m, max_iteration) levels, e.g. [(0.25, 10), (0.05, 20)].
@@ -868,6 +925,37 @@ class PoseRefiner:
             )
         if len(init_shape) not in (2, 3):
             raise ValueError(f"init_poses must be (4, 4) or (N, 4, 4), got {init_shape}")
+        from pose_refine_tpu.scene.projective import SceneProjectiveStack
+
+        if isinstance(scene, SceneProjectiveStack):
+            if scene_ids is None:
+                raise ValueError(
+                    "the scene is a stacked multi-frame table "
+                    "(set_scene_depths): refine() needs scene_ids - one "
+                    "frame index per hypothesis"
+                )
+            scene_ids = np.asarray(scene_ids, np.int32)
+            n_poses = 1 if len(init_shape) == 2 else init_shape[0]
+            if scene_ids.shape not in ((), (n_poses,)):
+                raise ValueError(
+                    f"scene_ids shape {scene_ids.shape} does not match the "
+                    f"{n_poses}-pose batch"
+                )
+            if scene_ids.size and (
+                scene_ids.min() < 0 or scene_ids.max() >= scene.n_scenes
+            ):
+                raise ValueError(
+                    f"scene_ids must be in [0, {scene.n_scenes}), got "
+                    f"[{scene_ids.min()}, {scene_ids.max()}]"
+                )
+            scene_ids = jnp.broadcast_to(
+                jnp.asarray(scene_ids, jnp.int32), (n_poses,)
+            )
+        elif scene_ids is not None:
+            raise ValueError(
+                "scene_ids is only valid with a stacked multi-frame scene "
+                "(set_scene_depths); this refiner holds a single scene"
+            )
         if schedule:
             if self.coarse_iters:
                 bad = [int(i) for _, i in schedule if int(i) <= self.coarse_iters]
@@ -898,6 +986,7 @@ class PoseRefiner:
                     with_covariance=(
                         with_covariance and level == len(schedule) - 1
                     ),
+                    scene_ids=scene_ids,
                     _scene=_scene_with_gate(scene, max_dist),
                     _tris=_tris,
                 )
@@ -923,12 +1012,23 @@ class PoseRefiner:
                 self.max_points, criteria, self.use_pallas,
                 jax.tree.structure(scene), items,
                 tris_per_pose=tris.ndim == 4,
+                has_scene_ids=scene_ids is not None,
             )
             poses_p, tris_p, n = _sh.pad_to_devices(mesh.size, init_poses, tris)
-            out = fn(
+            args = (
                 tris_p, _sh.shard_pose_batch(mesh, poses_p), scene,
                 jnp.asarray(self.proj), jnp.asarray(self.K_render),
             )
+            if scene_ids is not None:
+                # scene_ids pad/shard exactly like their poses (first-row
+                # replication - pad lanes re-refine a real (pose, frame))
+                pad = poses_p.shape[0] - scene_ids.shape[0]
+                if pad:
+                    scene_ids = jnp.concatenate(
+                        [scene_ids,
+                         jnp.broadcast_to(scene_ids[:1], (pad,))])
+                args = args + (scene_ids,)
+            out = fn(*args)
             out = _sh.unpad_results(n, *out)
         else:
             out = refine_poses_jit(
@@ -937,11 +1037,12 @@ class PoseRefiner:
                 scene,
                 self.proj,
                 jnp.asarray(self.K_render),
-                self.render_w,
-                self.render_h,
-                self.max_points,
-                criteria,
-                self.use_pallas,
+                scene_ids,
+                width=self.render_w,
+                height=self.render_h,
+                max_points=self.max_points,
+                criteria=criteria,
+                use_pallas=self.use_pallas,
                 # single source of truth with the sharded path (the cached
                 # _sharded_fn partials over the same item tuple)
                 **dict(items),

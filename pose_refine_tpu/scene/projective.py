@@ -73,15 +73,112 @@ class SceneProjective:
 
     def query(self, src):
         """(..., 3) source points -> (dst (...,3), normal (...,3), valid (...))."""
-        h, w = self.height, self.width
-        xyd = geometry.pcd2dep(src, self.K)
-        x, y = xyd[..., 0], xyd[..., 1]
-        inb = (x >= 0) & (x < w) & (y >= 0) & (y < h)
-        lin = jnp.clip(y, 0, h - 1) * w + jnp.clip(x, 0, w - 1)
-        rows = jnp.take(self.table, lin, axis=0)
-        dst = rows[..., 0:3]
-        nrm = rows[..., 3:6]
-        valid = inb & (dst[..., 2] > 0) & (
-            jnp.abs(src[..., 2] - dst[..., 2]) <= self.max_dist_diff
+        return _project_gate(
+            self.table, self.K, self.max_dist_diff,
+            self.height, self.width, src,
         )
-        return dst, nrm, valid
+
+
+def _project_gate(table, K, max_dist_diff, h: int, w: int, src, base=0):
+    """The projective query core (depth_scene.h:29-48): pcd2dep rounding,
+    pixel bounds check, one packed row gather (offset by ``base`` rows for
+    stacked multi-frame tables), scene z > 0 and |dz| <= gate."""
+    xyd = geometry.pcd2dep(src, K)
+    x, y = xyd[..., 0], xyd[..., 1]
+    inb = (x >= 0) & (x < w) & (y >= 0) & (y < h)
+    lin = jnp.clip(y, 0, h - 1) * w + jnp.clip(x, 0, w - 1)
+    rows = jnp.take(table, base + lin, axis=0)
+    dst = rows[..., 0:3]
+    nrm = rows[..., 3:6]
+    valid = inb & (dst[..., 2] > 0) & (
+        jnp.abs(src[..., 2] - dst[..., 2]) <= max_dist_diff
+    )
+    return dst, nrm, valid
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneProjectiveStack:
+    """K same-shape projective scene frames in ONE flat table, addressed
+    per pose by a scene id.
+
+    The reference runs concurrent ICPs against *different* scene frames via
+    per-thread CUDA streams (README.md:15, cuda_icp/icp.cu:170). The
+    TPU-native equivalent is not K dispatches but ONE program: gathers are
+    row-count-bound and insensitive to table size (CLAUDE.md), so stacking
+    K (H*W, 8) tables into a (K*H*W, 8) table and adding sid*H*W to each
+    pose's row index costs nothing per query - while saving (K-1) program
+    dispatches (~28-30 ms each on tunneled runtimes). Same-resolution
+    frames mean no padding: every lane gathers the same row count.
+    """
+
+    table: jnp.ndarray          # (K*H*W, 8) float32: [pcd xyz, normal xyz, 0, 0]
+    K: jnp.ndarray              # (3, 3) float32 (shared camera)
+    max_dist_diff: jnp.ndarray  # () float32
+    height: int = dataclasses.field(metadata=dict(static=True), default=480)
+    width: int = dataclasses.field(metadata=dict(static=True), default=640)
+    n_scenes: int = dataclasses.field(metadata=dict(static=True), default=1)
+
+    @classmethod
+    def from_depths(
+        cls, depths, K, max_dist_diff: float = 0.1
+    ) -> "SceneProjectiveStack":
+        """Build from (K, H, W) mm depth frames (one vmapped program: the
+        per-frame dep2pcd + LINEMOD normal stencil of
+        SceneProjective.from_depth)."""
+        depths = jnp.asarray(depths)
+        if depths.ndim != 3:
+            raise ValueError(
+                f"from_depths wants (K, H, W) frames, got {depths.shape}"
+            )
+        k, h, w = depths.shape
+        Kj = jnp.asarray(K, jnp.float32)
+
+        def build(d):
+            pts, _mask = depth_image_to_points(d, Kj)
+            return pts, estimate_normals(d, Kj)
+
+        pts, nrm = jax.vmap(build)(depths)
+        table = jnp.concatenate(
+            [
+                pts.reshape(-1, 3),
+                nrm.reshape(-1, 3),
+                jnp.zeros((k * h * w, 2), jnp.float32),
+            ],
+            axis=1,
+        )
+        return cls(
+            table=table,
+            K=Kj,
+            max_dist_diff=jnp.float32(max_dist_diff),
+            height=int(h),
+            width=int(w),
+            n_scenes=int(k),
+        )
+
+    def lane(self, i: int) -> SceneProjective:
+        """Frame ``i`` (static python int) as a standalone SceneProjective -
+        the parity anchor: refine(scene_ids=ids) must equal refining each
+        pose against its lane."""
+        hw = self.height * self.width
+        return SceneProjective(
+            table=self.table[i * hw : (i + 1) * hw],
+            K=self.K,
+            max_dist_diff=self.max_dist_diff,
+            height=self.height,
+            width=self.width,
+        )
+
+    def query_at(self, sid):
+        """The query closure bound to scene ``sid`` (a traced int32
+        scalar) - vmapped over poses so each lane associates against its
+        own frame with the SAME gather count as a single-scene query."""
+        base = jnp.int32(sid) * jnp.int32(self.height * self.width)
+
+        def query(src):
+            return _project_gate(
+                self.table, self.K, self.max_dist_diff,
+                self.height, self.width, src, base=base,
+            )
+
+        return query

@@ -1,0 +1,155 @@
+"""Heterogeneous scenes in one batch: SceneProjectiveStack + refine(scene_ids=).
+
+The reference runs concurrent ICPs against *different* scene frames via
+per-thread CUDA streams (README.md:15, cuda_icp/icp.cu:170). The TPU-native
+equivalent is ONE program over a stacked (K*H*W, 8) table with a per-pose
+frame index offsetting the row gather - closing the PARITY.md "Partial" row
+with parity anchors: the stacked result must equal per-frame refinement.
+"""
+import numpy as np
+import pytest
+
+import pose_refine_tpu as prt
+from pose_refine_tpu import geometry, mesh
+from pose_refine_tpu.scene.projective import SceneProjective, SceneProjectiveStack
+from tests.test_icp import reference_demo_poses
+
+W, H = 160, 120
+
+
+@pytest.fixture(scope="module")
+def setup():
+    K = geometry.LINEMOD_K.copy()
+    K[:2] *= 0.25
+    m = mesh.make_bumpy_sphere(radius=50.0, subdivisions=3)
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    pose1, _, _ = reference_demo_poses()
+    rng = np.random.default_rng(11)
+    truths, frames = [], []
+    for k in range(3):
+        d_rot = np.asarray(geometry.euler_to_rotation(
+            rng.uniform(-0.3, 0.3, 3).astype(np.float32)))
+        t = pose1[:3, 3] + rng.uniform(-15, 15, 3).astype(np.float32)
+        truth = np.asarray(geometry.pose_from_Rt(d_rot @ pose1[:3, :3], t))
+        truths.append(truth)
+        frames.append(np.asarray(r.render_depth(truth))[0].astype(np.int32))
+    return m, K, np.stack(truths), np.stack(frames)
+
+
+def _refiner(m, K):
+    return prt.PoseRefiner(m, K=K, width=W, height=H, max_points=4096,
+                           use_pallas=False, window=64, stride=1,
+                           auto_roi=False)
+
+
+def _perturbed(truths, rng, per=2):
+    hyps, ids = [], []
+    for k, truth in enumerate(truths):
+        for _ in range(per):
+            d = np.asarray(geometry.euler_to_rotation(
+                rng.uniform(-0.1, 0.1, 3).astype(np.float32)))
+            hyps.append(np.asarray(geometry.pose_from_Rt(
+                d @ truth[:3, :3],
+                truth[:3, 3] + rng.uniform(-8, 8, 3).astype(np.float32))))
+            ids.append(k)
+    return np.stack(hyps).astype(np.float32), np.asarray(ids, np.int32)
+
+
+def test_stack_query_matches_per_frame_scene(setup):
+    """query_at(sid) must equal the standalone per-frame scene query - the
+    offset gather is a pure re-indexing."""
+    import jax.numpy as jnp
+
+    m, K, truths, frames = setup
+    stack = SceneProjectiveStack.from_depths(frames, K)
+    assert stack.n_scenes == 3 and stack.table.shape == (3 * H * W, 8)
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.uniform(-0.1, 0.1, (256, 3)).astype(np.float32)
+                      + np.float32([0, 0, 0.3]))
+    for i in range(3):
+        single = SceneProjective.from_depth(frames[i], K)
+        d_s, n_s, v_s = single.query(src)
+        d_q, n_q, v_q = stack.query_at(jnp.int32(i))(src)
+        d_l, n_l, v_l = stack.lane(i).query(src)
+        np.testing.assert_array_equal(np.asarray(v_s), np.asarray(v_q))
+        np.testing.assert_array_equal(np.asarray(d_s), np.asarray(d_q))
+        np.testing.assert_array_equal(np.asarray(n_s), np.asarray(n_q))
+        np.testing.assert_array_equal(np.asarray(d_q), np.asarray(d_l))
+        np.testing.assert_array_equal(np.asarray(v_q), np.asarray(v_l))
+
+
+def test_refine_multiscene_matches_per_frame(setup):
+    """ONE stacked dispatch == K per-frame refinements, pose for pose."""
+    m, K, truths, frames = setup
+    hyps, ids = _perturbed(truths, np.random.default_rng(1))
+
+    ref = _refiner(m, K).set_scene_depths(frames)
+    refined, res = ref.refine(hyps, scene_ids=ids)
+    refined = np.asarray(refined)
+
+    single = _refiner(m, K)
+    for k in range(3):
+        single.set_scene_depth(frames[k])
+        rows = ids == k
+        r_k, res_k = single.refine(hyps[rows])
+        np.testing.assert_allclose(refined[rows], np.asarray(r_k), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(res.fitness)[rows], np.asarray(res_k.fitness),
+            atol=1e-6)
+        # each lane recovered ITS OWN frame's truth
+        for r in np.asarray(r_k):
+            cos = (np.trace(r[:3, :3].T @ truths[k][:3, :3]) - 1) / 2
+            assert np.degrees(np.arccos(np.clip(cos, -1, 1))) < 3.0
+            assert np.abs(r[:3, 3] - truths[k][:3, 3]).max() < 3.0
+
+
+def test_refine_multiscene_covariance_and_schedule(setup):
+    """scene_ids composes with with_covariance and schedule= (the gate
+    replacement keeps the stack type)."""
+    m, K, truths, frames = setup
+    hyps, ids = _perturbed(truths, np.random.default_rng(2), per=1)
+    ref = _refiner(m, K).set_scene_depths(frames)
+    refined, res, unc = ref.refine(hyps, scene_ids=ids, with_covariance=True)
+    assert np.asarray(unc.covariance).shape == (3, 6, 6)
+    assert np.isfinite(np.asarray(unc.covariance)).all()
+    r2, res2 = ref.refine(hyps, scene_ids=ids,
+                          schedule=[(0.25, 10), (0.05, 20)])
+    assert float(np.min(np.asarray(res2.fitness))) > 0.5
+
+
+def test_refine_multiscene_validation(setup):
+    m, K, truths, frames = setup
+    ref = _refiner(m, K).set_scene_depths(frames)
+    hyps, ids = _perturbed(truths, np.random.default_rng(3), per=1)
+    with pytest.raises(ValueError, match="scene_ids"):
+        ref.refine(hyps)  # stack without ids
+    with pytest.raises(ValueError, match="does not match"):
+        ref.refine(hyps, scene_ids=ids[:2])
+    with pytest.raises(ValueError, match="in \\[0, 3\\)"):
+        ref.refine(hyps, scene_ids=np.asarray([0, 1, 3], np.int32))
+    single = _refiner(m, K).set_scene_depth(frames[0])
+    with pytest.raises(ValueError, match="single scene"):
+        single.refine(hyps, scene_ids=ids)
+    with pytest.raises(ValueError, match="projective"):
+        prt.PoseRefiner(m, K=K, width=W, height=H, scene="nn_bruteforce",
+                        use_pallas=False).set_scene_depths(frames)
+    with pytest.raises(ValueError, match="K, H, W"):
+        ref.set_scene_depths(frames[0])
+
+
+def test_refine_multiscene_sharded_parity(setup):
+    """The stacked program sharded over an 8-device mesh (scene_ids shard
+    with their poses, table replicates; non-divisible batch pads) must
+    match the single-device result."""
+    m, K, truths, frames = setup
+    hyps, ids = _perturbed(truths, np.random.default_rng(4))  # 6 poses / 8 dev
+    ref = _refiner(m, K).set_scene_depths(frames)
+    r1, res1 = ref.refine(hyps, scene_ids=ids)
+    ref8 = prt.PoseRefiner(m, K=K, width=W, height=H, max_points=4096,
+                           use_pallas=False, window=64, stride=1,
+                           auto_roi=False, devices=8)
+    ref8.set_scene_depths(frames)
+    r8, res8 = ref8.refine(hyps, scene_ids=ids)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r8), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(res1.fitness), np.asarray(res8.fitness), atol=1e-6)
