@@ -47,7 +47,8 @@ def test_sharded_refine_matches_single_device():
     import pose_refine_tpu.icp as icp_mod
 
     refined_1, res_1 = refine_poses_jit(
-        tris, poses, scene, proj, K, W, H, 4096, icp_mod.ICPConvergenceCriteria(), False
+        tris, poses, scene, proj, K, width=W, height=H, max_points=4096,
+        criteria=icp_mod.ICPConvergenceCriteria(), use_pallas=False,
     )
     np.testing.assert_allclose(
         np.asarray(refined_sh), np.asarray(refined_1), atol=1e-4
@@ -226,8 +227,8 @@ def test_sharded_per_pose_tris():
     import pose_refine_tpu.icp as icp_mod
 
     refined_1, res_1 = refine_poses_jit(
-        tris_pp, poses, scene, proj, K, W, H, 4096,
-        icp_mod.ICPConvergenceCriteria(), False,
+        tris_pp, poses, scene, proj, K, width=W, height=H, max_points=4096,
+        criteria=icp_mod.ICPConvergenceCriteria(), use_pallas=False,
     )
     np.testing.assert_allclose(np.asarray(refined_sh), np.asarray(refined_1), atol=1e-4)
     np.testing.assert_allclose(np.asarray(res_sh.fitness), np.asarray(res_1.fitness), atol=1e-5)

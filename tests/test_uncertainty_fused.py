@@ -93,7 +93,8 @@ def test_fused_matches_standalone_pose_information(setup):
     crit = icp.ICPConvergenceCriteria()
 
     refined, res, unc = refine_poses_jit(
-        tris, poses, scene, proj, K, W, H, 4096, crit, False,
+        tris, poses, scene, proj, K, width=W, height=H, max_points=4096,
+        criteria=crit, use_pallas=False,
         window=64, stride=2, chunk_iters=64, with_information=True,
     )
 
