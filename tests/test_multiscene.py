@@ -115,6 +115,10 @@ def test_refine_multiscene_covariance_and_schedule(setup):
     r2, res2 = ref.refine(hyps, scene_ids=ids,
                           schedule=[(0.25, 10), (0.05, 20)])
     assert float(np.min(np.asarray(res2.fitness))) > 0.5
+    # streaming: refine_async forwards scene_ids; fenced result == sync
+    pending = ref.refine_async(hyps, scene_ids=ids)
+    r3, res3 = pending.wait()
+    np.testing.assert_allclose(np.asarray(r3), np.asarray(refined), atol=1e-6)
 
 
 def test_refine_multiscene_validation(setup):
