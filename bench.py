@@ -272,15 +272,24 @@ def main():
             tr_truths.append(tr_truth.copy())
             tr_frames.append(
                 np.asarray(sync(render_fn(jnp.asarray(tr_truth[None]))))[0])
-        session = prt.TrackingSession(
-            refiner, truth, n_hypotheses=N_HYP,
-            process_noise=(np.radians(2.0), 0.005), seed=9)
-        session.step_async(tr_frames[0])  # pays the compile
-        t0 = time.perf_counter()
-        for f in tr_frames[1:]:
-            session.step_async(f)
-        last = session.flush()
-        t_frame = (time.perf_counter() - t0) / (N_TRACK - 1)
+        def _track_loop():
+            """One full session over all frames; per-frame wall averaged
+            over EVERY dispatch and fence (timing only the steady tail
+            under-counted: frame 0's fence+fuse landed inside the loop
+            while its dispatch sat outside, ~9% bias)."""
+            session = prt.TrackingSession(
+                refiner, truth, n_hypotheses=N_HYP,
+                process_noise=(np.radians(2.0), 0.005), seed=9)
+            t0 = time.perf_counter()
+            for f in tr_frames:
+                session.step_async(f)
+            last = session.flush()
+            return (time.perf_counter() - t0) / N_TRACK, session, last
+
+        _track_loop()  # pays the compile
+        runs = sorted((_track_loop() for _ in range(3)),
+                      key=lambda r: r[0])
+        t_frame, session, last = runs[len(runs) // 2]
         err_deg = float(rotation_angle_deg(last.pose, tr_truths[-1]))
         _emit({"metric": "tracking_fps_fused_filter", "value": round(1.0 / t_frame, 1),
                "unit": "frames/sec", "wall_ms_per_frame": round(t_frame * 1000, 1),

@@ -498,13 +498,19 @@ class PoseRefiner:
             if isinstance(frame_depth, jax.Array):
                 # device-resident frame: deriving the median would cost a
                 # D2H round trip per session - keep the full-res build and
-                # say so (pass scene_pool=<int> to pin it)
-                logger.warning(
-                    "track(): scene_voxel_mm=%g set but the frame is "
-                    "device-resident - cannot auto-derive the pooling "
-                    "factor without a readback; pass scene_pool=<int> "
-                    "(e.g. 4 for a 2 mm voxel at 0.3 m) to downsample "
-                    "the device-built scene.", self.scene_voxel_mm)
+                # say so ONCE (pass scene_pool=<int> to pin it)
+                if not getattr(self, "_scene_pool_warned", False):
+                    self._scene_pool_warned = True
+                    logger.warning(
+                        "track(): scene_voxel_mm=%g set but the frame is "
+                        "device-resident - cannot auto-derive the pooling "
+                        "factor without a readback; pass scene_pool=<int> "
+                        "(e.g. 4 for a 2 mm voxel at 0.3 m) to downsample "
+                        "the device-built scene.", self.scene_voxel_mm)
+                # do NOT cache: a later HOST frame can still derive the
+                # factor (caching 1 here would silently dishonor
+                # scene_voxel_mm for the whole session)
+                return pool
             else:
                 # any host-side input (numpy, list, ...) - not just ndarray
                 frame = np.asarray(frame_depth)
@@ -934,19 +940,28 @@ class PoseRefiner:
                     "(set_scene_depths): refine() needs scene_ids - one "
                     "frame index per hypothesis"
                 )
-            scene_ids = np.asarray(scene_ids, np.int32)
             n_poses = 1 if len(init_shape) == 2 else init_shape[0]
-            if scene_ids.shape not in ((), (n_poses,)):
+            if isinstance(scene_ids, jax.Array):
+                # device-resident ids (incl. the schedule recursion's own
+                # broadcast array): shape checks are metadata-only; skip
+                # the min/max readback - np.asarray here would fence the
+                # producing program and break refine_async's
+                # nothing-blocks contract
+                ids_shape = scene_ids.shape
+            else:
+                scene_ids = np.asarray(scene_ids, np.int32)
+                ids_shape = scene_ids.shape
+                if scene_ids.size and (
+                    scene_ids.min() < 0 or scene_ids.max() >= scene.n_scenes
+                ):
+                    raise ValueError(
+                        f"scene_ids must be in [0, {scene.n_scenes}), got "
+                        f"[{scene_ids.min()}, {scene_ids.max()}]"
+                    )
+            if ids_shape not in ((), (n_poses,)):
                 raise ValueError(
-                    f"scene_ids shape {scene_ids.shape} does not match the "
+                    f"scene_ids shape {ids_shape} does not match the "
                     f"{n_poses}-pose batch"
-                )
-            if scene_ids.size and (
-                scene_ids.min() < 0 or scene_ids.max() >= scene.n_scenes
-            ):
-                raise ValueError(
-                    f"scene_ids must be in [0, {scene.n_scenes}), got "
-                    f"[{scene_ids.min()}, {scene_ids.max()}]"
                 )
             scene_ids = jnp.broadcast_to(
                 jnp.asarray(scene_ids, jnp.int32), (n_poses,)

@@ -116,7 +116,9 @@ def _unpack_outputs(buf: np.ndarray, has_np: bool):
         transformation=buf[:, 16:32].reshape(n, 4, 4),
         fitness=buf[:, 32],
         inlier_rmse=buf[:, 33],
-        n_points=buf[:, 34] if has_np else None,
+        # restore the int dtype the unpacked path had (counts <= max_points
+        # are exact in f32, so the round trip is lossless)
+        n_points=buf[:, 34].astype(np.int32) if has_np else None,
     )
     cov_np = buf[:, 35:71].reshape(n, 6, 6).astype(np.float64)
     return buf[:, :16].reshape(n, 4, 4), results_np, cov_np
@@ -335,28 +337,36 @@ class TrackingSession:
                 )
         elif model_id is not None:
             raise ValueError("model_id is only valid with MultiModelRefiner")
-        self._advance(self.tracker, motion_mm)
-
-        hyps = self.tracker.hypotheses(
-            self.n_hypotheses, scale=self.hypothesis_scale, seed=self._rng
-        )
-        if isinstance(self.refiner, MultiModelRefiner):
-            ids = np.full((hyps.shape[0],), int(model_id), np.int32)
-            refined, results, unc = self.refiner.track(
-                frame_depth, ids, hyps, with_covariance=True
+        # pre-checks cannot catch everything (track() itself validates the
+        # frame): snapshot the filter + rng and roll back on ANY failure so
+        # a corrected retry replays the exact same hypothesis stream
+        rng_state = self._rng.bit_generator.state
+        tracker_state = self.tracker.state_dict()
+        try:
+            self._advance(self.tracker, motion_mm)
+            hyps = self.tracker.hypotheses(
+                self.n_hypotheses, scale=self.hypothesis_scale, seed=self._rng
             )
-        else:
-            refined, results, unc = self.refiner.track(
-                frame_depth, hyps, with_covariance=True
+            if isinstance(self.refiner, MultiModelRefiner):
+                ids = np.full((hyps.shape[0],), int(model_id), np.int32)
+                refined, results, unc = self.refiner.track(
+                    frame_depth, ids, hyps, with_covariance=True
+                )
+            else:
+                refined, results, unc = self.refiner.track(
+                    frame_depth, hyps, with_covariance=True
+                )
+            step = _fuse_ranked_best(
+                self.tracker,
+                *_pull_track_outputs(refined, results, unc),
+                self.gate_chi2,
+                self.max_innovation,
+                self.min_quality,
             )
-
-        step = _fuse_ranked_best(
-            self.tracker,
-            *_pull_track_outputs(refined, results, unc),
-            self.gate_chi2,
-            self.max_innovation,
-            self.min_quality,
-        )
+        except BaseException:
+            self._rng.bit_generator.state = rng_state
+            self.tracker = PoseTracker.from_state(tracker_state)
+            raise
         self.n_frames += 1
         return step
 
@@ -437,20 +447,29 @@ class TrackingSession:
                 )
         elif model_id is not None:
             raise ValueError("model_id is only valid with MultiModelRefiner")
-        hyps = self._sample_ahead(motion_mm)
-        if isinstance(self.refiner, MultiModelRefiner):
-            ids = np.full((hyps.shape[0],), int(model_id), np.int32)
-            pending = self.refiner.track_async(
-                frame_depth, ids, hyps, with_covariance=True
-            )
-        else:
-            pending = self.refiner.track_async(
-                frame_depth, hyps, with_covariance=True
-            )
-        # enqueue the output-packing program NOW (async): it chains after
-        # the track program on device, so the eventual fuse is one pure D2H
-        packed, has_np = _pack_on_device(
-            pending.refined, pending.results, pending.uncertainty)
+        # track_async can still reject the frame after _sample_ahead has
+        # consumed the rng stream - roll the stream back on failure (the
+        # filter itself is untouched; _sample_ahead works on a copy)
+        rng_state = self._rng.bit_generator.state
+        try:
+            hyps = self._sample_ahead(motion_mm)
+            if isinstance(self.refiner, MultiModelRefiner):
+                ids = np.full((hyps.shape[0],), int(model_id), np.int32)
+                pending = self.refiner.track_async(
+                    frame_depth, ids, hyps, with_covariance=True
+                )
+            else:
+                pending = self.refiner.track_async(
+                    frame_depth, hyps, with_covariance=True
+                )
+            # enqueue the output-packing program NOW (async): it chains
+            # after the track program on device, so the eventual fuse is
+            # one pure D2H
+            packed, has_np = _pack_on_device(
+                pending.refined, pending.results, pending.uncertainty)
+        except BaseException:
+            self._rng.bit_generator.state = rng_state
+            raise
         prev = self._fuse_inflight()
         self._inflight = (packed, has_np, motion_mm)
         return prev
@@ -682,15 +701,26 @@ class MultiObjectSession:
                 "before synchronous step()"
             )
         motions_mm = self._check_motions(motions_mm)
-        hyp_blocks = []
-        for tracker, motion_mm in zip(self.trackers, motions_mm):
-            self._advance(tracker, motion_mm)
-            hyp_blocks.append(tracker.hypotheses(
-                self.n_hypotheses, scale=self.hypothesis_scale,
-                seed=self._rng))
-        refined, results, unc = self._track_batch(
-            frame_depth, hyp_blocks, async_=False)
-        return self._fuse_all(*_pull_track_outputs(refined, results, unc))
+        # snapshot + roll back on ANY failure (track() validates the frame
+        # only after the filters have predicted and the rng stream moved)
+        # so a corrected retry replays the exact same hypothesis stream
+        rng_state = self._rng.bit_generator.state
+        tracker_states = [t.state_dict() for t in self.trackers]
+        try:
+            hyp_blocks = []
+            for tracker, motion_mm in zip(self.trackers, motions_mm):
+                self._advance(tracker, motion_mm)
+                hyp_blocks.append(tracker.hypotheses(
+                    self.n_hypotheses, scale=self.hypothesis_scale,
+                    seed=self._rng))
+            refined, results, unc = self._track_batch(
+                frame_depth, hyp_blocks, async_=False)
+            return self._fuse_all(*_pull_track_outputs(refined, results, unc))
+        except BaseException:
+            self._rng.bit_generator.state = rng_state
+            self.trackers = [
+                PoseTracker.from_state(s) for s in tracker_states]
+            raise
 
     # -- pipelined (double-buffered) stepping: the multi-object twin of
     # TrackingSession.step_async (which see for the latency/staleness
@@ -717,19 +747,26 @@ class MultiObjectSession:
             self._inflight[2] if self._inflight is not None
             else [None] * len(self.trackers)
         )
-        hyp_blocks = []
-        for tracker, m_in, m_now in zip(
-                self.trackers, inflight_motions, motions_mm):
-            tmp = PoseTracker.from_state(tracker.state_dict())
-            if self._inflight is not None:
-                self._advance(tmp, m_in)
-            self._advance(tmp, m_now)
-            hyp_blocks.append(tmp.hypotheses(
-                self.n_hypotheses, scale=self.hypothesis_scale,
-                seed=self._rng))
-        pending = self._track_batch(frame_depth, hyp_blocks, async_=True)
-        packed, has_np = _pack_on_device(
-            pending.refined, pending.results, pending.uncertainty)
+        # roll the rng stream back if the dispatch rejects the frame (the
+        # filters are untouched - sampling works on throwaway copies)
+        rng_state = self._rng.bit_generator.state
+        try:
+            hyp_blocks = []
+            for tracker, m_in, m_now in zip(
+                    self.trackers, inflight_motions, motions_mm):
+                tmp = PoseTracker.from_state(tracker.state_dict())
+                if self._inflight is not None:
+                    self._advance(tmp, m_in)
+                self._advance(tmp, m_now)
+                hyp_blocks.append(tmp.hypotheses(
+                    self.n_hypotheses, scale=self.hypothesis_scale,
+                    seed=self._rng))
+            pending = self._track_batch(frame_depth, hyp_blocks, async_=True)
+            packed, has_np = _pack_on_device(
+                pending.refined, pending.results, pending.uncertainty)
+        except BaseException:
+            self._rng.bit_generator.state = rng_state
+            raise
         prev = self._fuse_inflight()
         self._inflight = (packed, has_np, motions_mm)
         return prev

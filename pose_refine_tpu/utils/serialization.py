@@ -17,11 +17,12 @@ import numpy as np
 from pose_refine_tpu.icp import RegistrationResult
 from pose_refine_tpu.scene.kdtree import KDTree
 from pose_refine_tpu.scene.nn import SceneNN
-from pose_refine_tpu.scene.projective import SceneProjective
+from pose_refine_tpu.scene.projective import SceneProjective, SceneProjectiveStack
 from pose_refine_tpu.utils.fusion import PoseTracker
 
 _KINDS = {
     "SceneProjective": SceneProjective,
+    "SceneProjectiveStack": SceneProjectiveStack,
     "SceneNN": SceneNN,
     "KDTree": KDTree,
     "RegistrationResult": RegistrationResult,

@@ -404,6 +404,10 @@ def _assert_state_equal(a, b, path=""):
         va, vb = a[k], b[k]
         if isinstance(va, dict):
             _assert_state_equal(va, vb, f"{path}{k}.")
+        elif isinstance(va, (list, tuple)) and va and isinstance(va[0], dict):
+            assert len(va) == len(vb), f"{path}{k}"
+            for i, (ea, eb) in enumerate(zip(va, vb)):
+                _assert_state_equal(ea, eb, f"{path}{k}[{i}].")
         elif isinstance(va, np.ndarray):
             np.testing.assert_array_equal(va, vb, err_msg=f"{path}{k}")
         else:
@@ -426,5 +430,34 @@ def test_failed_step_does_not_mutate_session(setup):
         session.step(depth, model_id=0)
     with pytest.raises(ValueError, match="model_id"):
         session.step_async(depth, model_id=0)
+    assert session._inflight is None
+    _assert_state_equal(before, session.state_dict())
+    # failures the pre-checks CANNOT catch - track() itself rejects the
+    # frame AFTER the filter predicted / the rng stream moved; the
+    # snapshot+rollback must undo both (step) / the stream (step_async)
+    bad = np.zeros((H, W, 3), np.int32)  # wrong ndim
+    with pytest.raises(Exception):
+        session.step(bad)
+    with pytest.raises(Exception):
+        session.step_async(bad)
+    assert session._inflight is None
+    _assert_state_equal(before, session.state_dict())
+
+
+def test_failed_step_does_not_mutate_multi_session(multi_setup):
+    """The MultiObjectSession twin of the rollback contract: every
+    tracker's filter AND the shared rng stream roll back when the fused
+    dispatch rejects a frame after sampling."""
+    refiner, _r_a, _r_b, pose_a, pose_b = multi_setup
+    session = prt.MultiObjectSession(
+        refiner, [(0, pose_a), (1, pose_b)], n_hypotheses=3, seed=2)
+    before = session.state_dict()
+    with pytest.raises(ValueError, match="motions"):
+        session.step(np.zeros((H, W), np.int32), motions_mm=[None])
+    bad = np.zeros((H, W, 3), np.int32)  # rejected inside track()
+    with pytest.raises(Exception):
+        session.step(bad)
+    with pytest.raises(Exception):
+        session.step_async(bad)
     assert session._inflight is None
     _assert_state_equal(before, session.state_dict())
