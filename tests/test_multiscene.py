@@ -141,6 +141,39 @@ def test_refine_multiscene_validation(setup):
         ref.set_scene_depths(frames[0])
 
 
+def test_multimodel_multiscene_full_heterogeneity(setup):
+    """K different MODELS against K different FRAMES in ONE dispatch
+    (MultiModelRefiner inherits set_scene_depths; per-pose tris and
+    per-pose scene rows compose) - the reference needs one renderer per
+    mesh AND one CUDA stream per scene for this."""
+    m, K, truths, frames = setup
+    m2 = mesh.make_icosphere(radius=45.0, subdivisions=3)
+    # frame 0/1 show the bumpy sphere, frame 2's truth re-rendered with
+    # the icosphere so model 1 has something to converge to
+    r2 = prt.PoseRenderer(m2, K=K, width=W, height=H, backend="dense")
+    frames = frames.copy()
+    frames[2] = np.asarray(r2.render_depth(truths[2]))[0].astype(np.int32)
+
+    multi = prt.MultiModelRefiner([m, m2], K=K, width=W, height=H,
+                                  max_points=4096, use_pallas=False,
+                                  window=64, stride=1, auto_roi=False)
+    multi.set_scene_depths(frames)
+    hyps, ids = _perturbed(truths, np.random.default_rng(5), per=2)
+    model_ids = np.where(ids == 2, 1, 0)  # frame 2 -> icosphere
+    refined, res = multi.refine(model_ids, hyps, scene_ids=ids)
+    refined = np.asarray(refined)
+    for r_pose, k in zip(refined, ids):
+        assert np.abs(r_pose[:3, 3] - truths[k][:3, 3]).max() < 4.0
+    assert float(np.min(np.asarray(res.fitness))) > 0.5
+    # parity: each (model, frame) group must match its dedicated refiner
+    single = prt.PoseRefiner(m2, K=K, width=W, height=H, max_points=4096,
+                             use_pallas=False, window=64, stride=1,
+                             auto_roi=False).set_scene_depth(frames[2])
+    rows = ids == 2
+    r_k, _ = single.refine(hyps[rows])
+    np.testing.assert_allclose(refined[rows], np.asarray(r_k), atol=1e-5)
+
+
 def test_refine_multiscene_sharded_parity(setup):
     """The stacked program sharded over an 8-device mesh (scene_ids shard
     with their poses, table replicates; non-divisible batch pads) must
