@@ -141,13 +141,23 @@ def nn_flash(queries, scene_pts, interpret: bool = False):
 
 # ---------------------------------------------------------------- gated NN
 
-GQ_TILE = 512  # queries per grid step for the gated kernel (tighter tile
-               # bboxes prune more chunks than the plain kernel's 1024)
+GQ_TILE = 256  # queries per grid step for the gated kernel: tighter tile
+               # bboxes prune more chunks than the plain kernel's 1024.
+               # scripts/nn_prune_rate.py (bench workload, 26k-pt scene):
+               # prune 23-31% at T=256 vs 11-18% at T=512 with 128-pt balls,
+               # and the fine 32-pt balls (UB_BALL) roughly double both;
+               # T=128 is better still but pays 2x the scalar box-check
+               # overhead - 256 measured fastest end-to-end on TPU
+               # (scripts/nn_tile_bound_study.py).
+UB_BALL = 32   # scene points per upper-bound ball (pass 1). Finer balls
+               # (radius ~4 mm vs ~10 mm at 128) tighten the per-tile NN
+               # upper bound toward the oracle: conv-stage prune 46.5% ->
+               # near-oracle (75.8%) territory for +5 lane-chunks of pass-1.
 
 
 def _kernel_gated(gate_ref, boxes_ref, cents_ref, scene_ref, q_ref,
                   idx_ref, dist_ref, best_ref, bchunk_ref, *, group: int,
-                  use_tile_bound: bool = True):
+                  q_tile: int = GQ_TILE, use_tile_bound: bool = True):
     """Flash-NN with bbox pruning against the association gate AND a
     per-tile nearest-neighbor distance upper bound.
 
@@ -205,7 +215,7 @@ def _kernel_gated(gate_ref, boxes_ref, cents_ref, scene_ref, q_ref,
             return jnp.minimum(ub, d)
 
         ub = jax.lax.fori_loop(
-            0, n_cch, ub_body, jnp.full((GQ_TILE, S_CHUNK), BIG, jnp.float32)
+            0, n_cch, ub_body, jnp.full((q_tile, S_CHUNK), BIG, jnp.float32)
         )
         gate = jnp.sqrt(gate2)
         # per-query bound clamped to the gate BEFORE the tile max: one
@@ -216,8 +226,8 @@ def _kernel_gated(gate_ref, boxes_ref, cents_ref, scene_ref, q_ref,
     else:
         tile_r2 = gate2
 
-    best_ref[...] = jnp.full((GQ_TILE, S_CHUNK), BIG, jnp.float32)
-    bchunk_ref[...] = jnp.zeros((GQ_TILE, S_CHUNK), jnp.int32)
+    best_ref[...] = jnp.full((q_tile, S_CHUNK), BIG, jnp.float32)
+    bchunk_ref[...] = jnp.zeros((q_tile, S_CHUNK), jnp.int32)
 
     def body(g, _):
         dx = jnp.maximum(jnp.maximum(boxes_ref[g, 0] - qhi_x, qlo_x - boxes_ref[g, 4]), 0.0)
@@ -250,7 +260,7 @@ def _kernel_gated(gate_ref, boxes_ref, cents_ref, scene_ref, q_ref,
 
     best = best_ref[...]
     bchunk = bchunk_ref[...]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (GQ_TILE, S_CHUNK), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (q_tile, S_CHUNK), 1)
     row_min = jnp.min(best, axis=1, keepdims=True)
     gidx = jnp.where(best == row_min, bchunk * S_CHUNK + lane, IBIG)
     idx_ref[...] = jnp.minimum(jnp.min(gidx, axis=1, keepdims=True), IBIG - 1)
@@ -261,21 +271,27 @@ def _kernel_gated(gate_ref, boxes_ref, cents_ref, scene_ref, q_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "interpret", "use_tile_bound", "_max_box_rows"))
+    "interpret", "use_tile_bound", "q_tile", "ub_ball", "_max_box_rows"))
 def nn_flash_gated(queries, scene_table, boxes, max_dist,
                    interpret: bool = False, use_tile_bound: bool = True,
+                   q_tile: int = GQ_TILE, ub_ball: int = UB_BALL,
                    _max_box_rows: int = 1024):
     """Gate-exact NN: identical to nn_flash_packed for every query whose true
     NN lies within max_dist; queries with no scene point inside the gate get
     dist_sq = BIG (invalid under the gate either way).
 
     queries (..., 3), scene_table from pack_scene, boxes from chunk_boxes,
-    max_dist the association gate in meters (scalar, traced OK).
+    max_dist the association gate in meters (scalar, traced OK). q_tile
+    (queries per grid step) and ub_ball (scene points per pass-1 bounding
+    ball; must divide S_CHUNK) trade pruning tightness against per-tile
+    fixed costs - defaults picked by scripts/nn_tile_bound_study.py.
     """
+    if S_CHUNK % ub_ball:
+        raise ValueError(f"ub_ball must divide S_CHUNK={S_CHUNK}, got {ub_ball}")
     q = jnp.asarray(queries, jnp.float32)
     flat = q.reshape(-1, 3)
     nq = flat.shape[0]
-    qpad = (-nq) % GQ_TILE
+    qpad = (-nq) % q_tile
     qsq = jnp.sum(flat * flat, axis=-1, keepdims=True)
     qtab = jnp.concatenate([flat, qsq, jnp.zeros((nq, 4), jnp.float32)], axis=1)
     if qpad:
@@ -285,13 +301,20 @@ def nn_flash_gated(queries, scene_table, boxes, max_dist,
         jnp.asarray(max_dist, jnp.float32) * jnp.asarray(max_dist, jnp.float32),
         (1, 1),
     )
-    # per-chunk bounding BALLS for the kernel's NN-distance upper-bound
-    # pass, as an (8, Nc_pad) VMEM table [cx, cy, cz, r]: center = bbox
-    # center, r = half-diagonal (covers every point in the chunk). Padded
-    # lanes sit 1e18 away with r = 0 so they never lower the bound.
-    ctr = 0.5 * (boxes[:, :3] + boxes[:, 4:7])
-    rad = 0.5 * jnp.linalg.norm(boxes[:, 4:7] - boxes[:, :3], axis=1,
-                                keepdims=True)
+    # bounding BALLS for the kernel's NN-distance upper-bound pass, as an
+    # (8, Nb_pad) VMEM table [cx, cy, cz, r] over ub_ball-point sub-chunks
+    # of the (Morton/kd-ordered) scene table: center = sub-chunk bbox
+    # center, r = half-diagonal (covers every point in it). Finer balls
+    # bound each query's true NN distance much tighter than the 128-pt
+    # chunk boxes (prune-rate study: radius ~4 mm vs ~10 mm). Scene-table
+    # pad rows repeat the last real point, so their balls are radius-0 at a
+    # REAL point - still a valid upper bound. Padded table lanes sit 1e18
+    # away with r = 0 so they never lower the bound.
+    sub = scene_table[:3].reshape(3, -1, ub_ball)  # (3, Nb, b)
+    blo = sub.min(axis=2)
+    bhi = sub.max(axis=2)
+    ctr = (0.5 * (blo + bhi)).T  # (Nb, 3)
+    rad = 0.5 * jnp.linalg.norm((bhi - blo).T, axis=1, keepdims=True)
     cents = jnp.concatenate(
         [ctr, rad, jnp.zeros((ctr.shape[0], 4), jnp.float32)], axis=1)
     cpad = (-cents.shape[0]) % S_CHUNK
@@ -318,9 +341,9 @@ def nn_flash_gated(queries, scene_table, boxes, max_dist,
         boxes = jnp.concatenate(
             [b[..., :4].min(axis=1), b[..., 4:].max(axis=1)], axis=1
         )
-    grid = (qtab.shape[0] // GQ_TILE,)
+    grid = (qtab.shape[0] // q_tile,)
     idx, dist = pl.pallas_call(
-        functools.partial(_kernel_gated, group=group,
+        functools.partial(_kernel_gated, group=group, q_tile=q_tile,
                           use_tile_bound=use_tile_bound),
         grid=grid,
         in_specs=[
@@ -334,19 +357,19 @@ def nn_flash_gated(queries, scene_table, boxes, max_dist,
             pl.BlockSpec(
                 (8, scene_table.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((GQ_TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((GQ_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((GQ_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((qtab.shape[0], 1), jnp.int32),
             jax.ShapeDtypeStruct((qtab.shape[0], 1), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((GQ_TILE, S_CHUNK), jnp.float32),
-            pltpu.VMEM((GQ_TILE, S_CHUNK), jnp.int32),
+            pltpu.VMEM((q_tile, S_CHUNK), jnp.float32),
+            pltpu.VMEM((q_tile, S_CHUNK), jnp.int32),
         ],
         interpret=interpret,
     )(gate2, boxes, cents, scene_table, qtab)

@@ -109,12 +109,20 @@ def main():
               f"({Q.shape[0]/wall/1e6:6.1f} Mq/s)", flush=True)
         return out
 
-    i_off, d_off = run_kernel("gate-only", use_tile_bound=False)
-    i_on, d_on = run_kernel("tile-bound", use_tile_bound=True)
+    arms = [("gate-only", dict(use_tile_bound=False))]
+    # q_tile x ub_ball sweep (VERDICT r3 #8 follow-up): prune-rate modeling
+    # (scripts/nn_prune_rate.py) says smaller tiles + finer pass-1 balls
+    # both tighten pruning; this measures where per-tile fixed costs win
+    tile_sweep = ((512, 128), (512, 32), (256, 32)) if SMOKE else (
+        (512, 128), (512, 32), (256, 128), (256, 32), (128, 32))
+    for qt, ub in tile_sweep:
+        arms.append((f"bound T{qt}/b{ub}",
+                     dict(use_tile_bound=True, q_tile=qt, ub_ball=ub)))
+    outs = [(tag, run_kernel(tag, **kw)) for tag, kw in arms]
     print("  compiling plain reference kernel...", flush=True)
     i_ref, d_ref = nn_flash_packed(Q, table, interpret=INTERP)
     inside = np.asarray(d_ref) < 0.1 * 0.1
-    for tag, ii, dd in (("gate-only", i_off, d_off), ("tile-bound", i_on, d_on)):
+    for tag, (ii, dd) in outs:
         ok_i = (np.asarray(ii)[inside] == np.asarray(i_ref)[inside]).all()
         ok_d = (np.asarray(dd)[inside] == np.asarray(d_ref)[inside]).all()
         print(f"  {tag} exact vs plain (in-gate): idx {ok_i} dist {ok_d}")

@@ -2,6 +2,7 @@
 the systematic version of the reference's spot-check test style."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from pose_refine_tpu import geometry
@@ -154,6 +155,39 @@ def test_nn_flash_gated_tile_bound_pruning_stays_exact():
     np.testing.assert_array_equal(d0[inside], d1[inside])
     assert i0[7] == min(100, 4500) == i1[7]  # tie kept the smaller index
     assert (d1[~inside] >= gate * gate).all()
+
+
+def test_nn_flash_gated_tile_and_ball_sizes_exact():
+    """q_tile / ub_ball are pure performance knobs (prune-rate vs fixed
+    cost): every combination must reproduce plain flash-NN exactly for
+    in-gate queries - incl. non-default tiles smaller and larger than the
+    production GQ_TILE and coarse/fine bounding balls."""
+    from pose_refine_tpu.scene.nn_pallas import (
+        chunk_boxes, nn_flash_gated, nn_flash_packed, pack_scene,
+    )
+
+    rng = np.random.default_rng(47)
+    S = (rng.normal(size=(4000, 3)) * 0.1).astype(np.float32)
+    S = S[np.lexsort((S[:, 0], S[:, 1], S[:, 2]))]
+    Q = (rng.normal(size=(1100, 3)) * 0.1).astype(np.float32)  # pads every tile
+    table = pack_scene(S)
+    boxes = chunk_boxes(table)
+    gate = 0.05
+
+    i0, d0 = nn_flash_packed(Q, table, interpret=True)
+    i0, d0 = np.asarray(i0), np.asarray(d0)
+    inside = d0 < gate * gate
+    assert inside.any() and not inside.all()
+    for q_tile in (128, 256, 512):
+        for ub_ball in (32, 128):
+            i1, d1 = nn_flash_gated(Q, table, boxes, gate, interpret=True,
+                                    q_tile=q_tile, ub_ball=ub_ball)
+            i1, d1 = np.asarray(i1), np.asarray(d1)
+            np.testing.assert_array_equal(i0[inside], i1[inside])
+            np.testing.assert_array_equal(d0[inside], d1[inside])
+            assert (d1[~inside] >= gate * gate).all()
+    with pytest.raises(ValueError, match="ub_ball"):
+        nn_flash_gated(Q, table, boxes, gate, interpret=True, ub_ball=48)
 
 
 def test_nn_flash_gated_group_merge_path_exact():
