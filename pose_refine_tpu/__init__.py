@@ -9,6 +9,7 @@ as one jitted, vmap-batched program per pose batch.
 from pose_refine_tpu import geometry  # noqa: F401
 from pose_refine_tpu.mesh import (  # noqa: F401
     Model,
+    load_gltf,
     load_obj,
     load_ply,
     load_stl,

@@ -1,9 +1,10 @@
-"""Mesh loading: PLY / OBJ / STL -> triangle soup.
+"""Mesh loading: PLY / OBJ / STL / glTF -> triangle soup.
 
 Replaces the reference's Assimp-based loader (renderer.h:27-155,
 renderer.cpp:11-150) with dependency-free numpy parsers for the formats pose
 datasets actually ship: PLY (ASCII and binary_little_endian), Wavefront OBJ,
-and STL (ascii + binary). The output matches the reference ``Model``: a flat
+STL (ascii + binary), and glTF 2.0 / GLB with full node-hierarchy flattening
+(the reference's ``recursive_render``, renderer.cpp:69-108). The output matches the reference ``Model``: a flat
 (T, 3, 3) float32 triangle array (triangle soup), the raw vertex/face arrays,
 and the axis-aligned bounding box. Faces with fewer than 3 indices are skipped
 (renderer.cpp:79); faces with more than 3 are fan-triangulated (the reference
@@ -75,7 +76,8 @@ class Model:
         datasets actually ship. Warns above 10k faces like renderer.cpp:54-55.
         """
         ext = os.path.splitext(path)[1].lower()
-        loaders = {".ply": load_ply, ".obj": load_obj, ".stl": load_stl}
+        loaders = {".ply": load_ply, ".obj": load_obj, ".stl": load_stl,
+                   ".gltf": load_gltf, ".glb": load_gltf}
         if ext not in loaders:
             raise ValueError(
                 f"{path}: unsupported mesh extension {ext!r} "
@@ -338,6 +340,172 @@ def load_stl(path: str):
     vertices, inverse = np.unique(tri_pts, axis=0, return_inverse=True)
     faces = inverse.reshape(-1, 3).astype(np.int32)
     return vertices, faces
+
+
+# glTF componentType -> numpy dtype (little-endian per spec)
+_GLTF_DTYPES = {
+    5120: "<i1", 5121: "<u1", 5122: "<i2", 5123: "<u2", 5125: "<u4", 5126: "<f4",
+}
+_GLTF_NCOMP = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4, "MAT4": 16}
+
+
+def _gltf_accessor(gltf: dict, buffers: list, idx: int) -> np.ndarray:
+    """Decode accessor ``idx`` -> (count, ncomp) array. Handles accessor and
+    bufferView byteOffsets and interleaved (byteStride) views."""
+    acc = gltf["accessors"][idx]
+    if "sparse" in acc:
+        raise ValueError("glTF sparse accessors are not supported")
+    ncomp = _GLTF_NCOMP[acc["type"]]
+    dtype = np.dtype(_GLTF_DTYPES[acc["componentType"]])
+    count = int(acc["count"])
+    if "bufferView" not in acc:  # spec: all zeros when absent
+        return np.zeros((count, ncomp), dtype)
+    bv = gltf["bufferViews"][acc["bufferView"]]
+    buf = buffers[bv["buffer"]]
+    start = int(bv.get("byteOffset", 0)) + int(acc.get("byteOffset", 0))
+    packed = dtype.itemsize * ncomp
+    stride = int(bv.get("byteStride") or packed)
+    if stride == packed:
+        out = np.frombuffer(buf, dtype, count * ncomp, start).reshape(count, ncomp)
+    else:  # interleaved: gather each element's bytes, then reinterpret
+        raw = np.frombuffer(buf, np.uint8)
+        offs = (start + stride * np.arange(count))[:, None] + np.arange(packed)[None, :]
+        if len(raw) < start + stride * (count - 1) + packed:
+            raise ValueError("glTF bufferView out of range")
+        out = raw[offs].view(dtype).reshape(count, ncomp)
+    return out
+
+
+def _gltf_node_matrix(node: dict) -> np.ndarray:
+    """4x4 local transform of a node: ``matrix`` (column-major per spec) or
+    composed translation @ rotation(quaternion xyzw) @ scale."""
+    if "matrix" in node:
+        return np.asarray(node["matrix"], np.float64).reshape(4, 4, order="F")
+    m = np.eye(4)
+    if "scale" in node:
+        m[:3, :3] = np.diag(node["scale"])
+    if "rotation" in node:
+        x, y, z, w = node["rotation"]
+        n = (x * x + y * y + z * z + w * w) or 1.0
+        x, y, z, w = x / n**0.5, y / n**0.5, z / n**0.5, w / n**0.5
+        r = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ])
+        m[:3, :3] = r @ m[:3, :3]
+    if "translation" in node:
+        m[:3, 3] = node["translation"]
+    return m
+
+
+def load_gltf(path: str):
+    """glTF 2.0 (.gltf / .glb) scene-graph loader -> (vertices, faces).
+
+    Closes the scene-graph residual non-parity (PARITY.md): the reference
+    flattens Assimp node hierarchies by walking nodes recursively and
+    composing each node's transform onto its meshes
+    (cuda_renderer/renderer.cpp:69-108, ``recursive_render``). This does the
+    same for glTF 2.0 — the one scene-graph format with a self-contained
+    spec — in dependency-free numpy+json: walk the default scene's node
+    DAG, compose parent @ local (matrix or TRS) transforms, transform each
+    mesh primitive's POSITION attribute, and merge everything into one
+    indexed triangle mesh. A node instanced under several parents is
+    emitted once per instance, like Assimp's flattened import.
+
+    Supports .glb containers, embedded ``data:`` URIs, external .bin
+    buffers, interleaved bufferViews, indexed and non-indexed TRIANGLES
+    primitives. Non-triangle primitive modes (points/lines/strips/fans) are
+    skipped — the renderer consumes triangle soups only. Coordinates are
+    loaded as stored (no unit or axis convention applied), matching the
+    other loaders.
+    """
+    import base64
+    import json
+
+    with open(path, "rb") as f:
+        data = f.read()
+    bin_chunk = None
+    if data[:4] == b"glTF":  # GLB container: 12-byte header + chunks
+        if len(data) < 12 or int(np.frombuffer(data, "<u4", 1, 4)[0]) != 2:
+            raise ValueError(f"{path}: unsupported GLB header/version")
+        off, js = 12, None
+        while off + 8 <= len(data):
+            clen = int(np.frombuffer(data, "<u4", 1, off)[0])
+            ctype = data[off + 4:off + 8]
+            chunk = data[off + 8:off + 8 + clen]
+            if ctype == b"JSON":
+                js = chunk
+            elif ctype == b"BIN\x00":
+                bin_chunk = chunk
+            off += 8 + clen + (-clen % 4)
+        if js is None:
+            raise ValueError(f"{path}: GLB has no JSON chunk")
+        gltf = json.loads(js)
+    else:
+        gltf = json.loads(data)
+
+    buffers = []
+    for b in gltf.get("buffers", []):
+        uri = b.get("uri")
+        if uri is None:
+            if bin_chunk is None:
+                raise ValueError(f"{path}: buffer without uri outside a GLB")
+            buffers.append(bin_chunk)
+        elif uri.startswith("data:"):
+            buffers.append(base64.b64decode(uri.split("base64,", 1)[1]))
+        else:
+            with open(os.path.join(os.path.dirname(path), uri), "rb") as f:
+                buffers.append(f.read())
+
+    nodes = gltf.get("nodes", [])
+    scenes = gltf.get("scenes", [])
+    if scenes:
+        roots = scenes[gltf.get("scene", 0)].get("nodes", [])
+    else:  # no scene: every non-child node is a root (spec allows this)
+        children = {c for n in nodes for c in n.get("children", [])}
+        roots = [i for i in range(len(nodes)) if i not in children]
+
+    all_v, all_f, v_off = [], [], 0
+
+    def emit_mesh(mesh_idx: int, world: np.ndarray):
+        nonlocal v_off
+        for prim in gltf["meshes"][mesh_idx].get("primitives", []):
+            if prim.get("mode", 4) != 4:  # TRIANGLES only
+                continue
+            pos = _gltf_accessor(gltf, buffers, prim["attributes"]["POSITION"])
+            pos = pos.astype(np.float64) @ world[:3, :3].T + world[:3, 3]
+            if "indices" in prim:
+                idx = _gltf_accessor(gltf, buffers, prim["indices"]).ravel()
+            else:
+                idx = np.arange(len(pos), dtype=np.int64)
+            if len(idx) % 3:
+                raise ValueError(f"{path}: TRIANGLES index count {len(idx)} not divisible by 3")
+            if len(idx) and idx.max() >= len(pos):
+                raise ValueError(f"{path}: primitive index {int(idx.max())} out of range")
+            all_v.append(pos.astype(np.float32))
+            all_f.append(idx.reshape(-1, 3).astype(np.int64) + v_off)
+            v_off += len(pos)
+
+    def walk(node_idx: int, parent: np.ndarray, depth: int):
+        if depth > 256:  # cycles are invalid glTF; fail loudly, not forever
+            raise ValueError(f"{path}: node hierarchy deeper than 256 (cycle?)")
+        node = nodes[node_idx]
+        world = parent @ _gltf_node_matrix(node)
+        if "mesh" in node:
+            emit_mesh(node["mesh"], world)
+        for c in node.get("children", []):
+            walk(c, world, depth + 1)
+
+    for r in roots:
+        walk(r, np.eye(4), 0)
+    if not all_v:
+        raise ValueError(f"{path}: no TRIANGLES geometry in the scene graph")
+    vertices = np.concatenate(all_v, axis=0)
+    faces = np.concatenate(all_f, axis=0)
+    if len(vertices) > np.iinfo(np.int32).max:
+        raise ValueError(f"{path}: too many vertices for int32 faces")
+    return vertices, faces.astype(np.int32)
 
 
 def save_ply_ascii(path: str, vertices, faces):

@@ -305,6 +305,7 @@ class PoseRefiner:
         scene_voxel_mm: float = 0.0,
         scene_stride: int = 1,
         scene_pool="auto",
+        scene_cascade=None,
         robust_delta: float = 0.0,
         reassociate_every: int = 1,
         coarse_iters: int = 0,
@@ -351,6 +352,38 @@ class PoseRefiner:
         # derives it once from scene_voxel_mm and the first tracked frame's
         # median object depth, so track() honors the same voxel config as
         # set_scene_depth (VERDICT r3 #5); an int pins it explicitly.
+        # scene_cascade=(coarse_voxel_mm, coarse_iters): NN coarse-to-fine
+        # SCENE schedule for refine(). Exact NN cost is O(Q x S), so most
+        # early-iteration work on a raw sensor cloud is spent associating
+        # against points a voxel filter would merge; the cascade runs
+        # coarse_iters against a coarse_voxel_mm-voxelized twin of the
+        # scene first, then the caller's criteria against the FULL
+        # resolution scene (final associations + fitness/rmse/covariance
+        # are all full-res). The TPU answer to "start on a decimated
+        # kd-tree": same association structure, two gathers' worth of
+        # program, no traversal. Measured on the 26k-pt raw bench cloud:
+        # (2.0, 16) + 8 fine iters = same verdicts/recovery as 24 raw
+        # iters at ~2x the throughput (scripts/nn_cascade_study.py).
+        if scene_cascade is not None:
+            if scene not in ("nn", "nn_kdtree", "nn_bruteforce"):
+                raise ValueError(
+                    "scene_cascade is an NN-scene feature (exact-NN cost "
+                    "scales with scene size; the projective gather is "
+                    f"size-free) - scene={scene!r} does not support it"
+                )
+            cv, ci = scene_cascade
+            if float(cv) <= 0.0 or int(ci) < 1:
+                raise ValueError(
+                    f"scene_cascade wants (coarse_voxel_mm > 0, "
+                    f"coarse_iters >= 1), got {scene_cascade!r}")
+            if float(scene_voxel_mm) > 0.0 and float(cv) <= float(scene_voxel_mm):
+                raise ValueError(
+                    f"scene_cascade coarse voxel ({cv} mm) must be coarser "
+                    f"than scene_voxel_mm ({scene_voxel_mm} mm) - otherwise "
+                    "the coarse pass is the fine pass")
+            scene_cascade = (float(cv), int(ci))
+        self.scene_cascade = scene_cascade
+        self._scene_coarse = None
         if scene_pool != "auto" and int(scene_pool) < 1:
             raise ValueError(f"scene_pool must be >= 1, got {scene_pool}")
         self.scene_pool = scene_pool if scene_pool == "auto" else int(scene_pool)
@@ -820,6 +853,12 @@ class PoseRefiner:
                 scene_depth, self.K, self.max_dist_diff,
                 backend=self._nn_backend(), voxel_mm=self.scene_voxel_mm,
             )
+            if self.scene_cascade is not None:
+                self._scene_coarse = SceneNN.from_depth(
+                    scene_depth, self.K, self.max_dist_diff,
+                    backend=self._nn_backend(),
+                    voxel_mm=self.scene_cascade[0],
+                )
         else:
             raise ValueError(f"unknown scene kind {self.scene_kind!r}")
         logger.info(
@@ -883,6 +922,15 @@ class PoseRefiner:
         self.scene = SceneNN.from_cloud(
             points, normals, self.max_dist_diff, backend=self._nn_backend()
         )
+        if self.scene_cascade is not None:
+            from pose_refine_tpu.scene.nn import voxel_downsample
+
+            cp, cn = voxel_downsample(
+                points, normals, self.scene_cascade[0] / 1000.0
+            )
+            self._scene_coarse = SceneNN.from_cloud(
+                cp, cn, self.max_dist_diff, backend=self._nn_backend()
+            )
         self._check_saturation = True
         return self
 
@@ -916,7 +964,12 @@ class PoseRefiner:
         at ~1/30th of an extra ICP's cost instead of the ~20 eager
         dispatches the standalone icp.pose_information path pays on
         tunneled runtimes. With schedule=, only the last level computes it
-        (the uncertainty of the final fit)."""
+        (the uncertainty of the final fit).
+
+        With ``scene_cascade=(coarse_voxel_mm, coarse_iters)`` (NN scenes),
+        a coarse pre-pass against a voxelized twin of the scene runs
+        first; ``criteria`` then governs the full-resolution pass, so pass
+        e.g. ``max_iteration=8`` to harvest the cascade's speedup."""
         scene = _scene if _scene is not None else self.scene
         if scene is None:  # usage error: must survive python -O
             raise RuntimeError("set_scene_depth / set_scene_cloud first")
@@ -971,6 +1024,27 @@ class PoseRefiner:
                 "scene_ids is only valid with a stacked multi-frame scene "
                 "(set_scene_depths); this refiner holds a single scene"
             )
+        if self._scene_coarse is not None and _scene is None:
+            # scene_cascade pre-pass: coarse_iters against the voxelized
+            # twin, then fall through to the normal path (schedule
+            # included) against the full-resolution scene at the caller's
+            # criteria. Recursions (schedule levels, this pre-pass itself)
+            # carry _scene and therefore skip this block. No covariance
+            # here - the uncertainty of the final full-res fit is what
+            # callers want (same rule as schedule's last level).
+            out = PoseRefiner.refine(
+                self,
+                init_poses,
+                criteria=icp.ICPConvergenceCriteria(
+                    criteria.relative_fitness,
+                    criteria.relative_rmse,
+                    self.scene_cascade[1],
+                ),
+                scene_ids=scene_ids,
+                _scene=self._scene_coarse,
+                _tris=_tris,
+            )
+            init_poses = out[0]
         if schedule:
             if self.coarse_iters:
                 bad = [int(i) for _, i in schedule if int(i) <= self.coarse_iters]

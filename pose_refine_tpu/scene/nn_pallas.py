@@ -141,14 +141,17 @@ def nn_flash(queries, scene_pts, interpret: bool = False):
 
 # ---------------------------------------------------------------- gated NN
 
-GQ_TILE = 256  # queries per grid step for the gated kernel: tighter tile
-               # bboxes prune more chunks than the plain kernel's 1024.
-               # scripts/nn_prune_rate.py (bench workload, 26k-pt scene):
-               # prune 23-31% at T=256 vs 11-18% at T=512 with 128-pt balls,
-               # and the fine 32-pt balls (UB_BALL) roughly double both;
-               # T=128 is better still but pays 2x the scalar box-check
-               # overhead - 256 measured fastest end-to-end on TPU
-               # (scripts/nn_tile_bound_study.py).
+GQ_TILE = 512  # queries per grid step for the gated kernel. Prune-rate
+               # MODELING (scripts/nn_prune_rate.py) says smaller tiles have
+               # tighter bboxes and prune more chunks (44-58% at T=128 vs
+               # 15-28% at T=512), but WALL TIME on TPU says otherwise
+               # (scripts/nn_kernel_rate.py, 524k real queries vs 26k pts,
+               # dispatch amortized): T512 53.7-54.5 ms, T256 56.7-60.8,
+               # T128 73.1-77.0. The 205-iteration scalar group loop (bbox
+               # test per chunk per grid step) costs more per query at small
+               # tiles than the extra pruning saves - the VLIW scalar core
+               # issues ~1 box check while the VPU does ~1 chunk scan.
+               # Versus gate-only (no tile bound): 2.7x (148-153 ms).
 UB_BALL = 32   # scene points per upper-bound ball (pass 1). Finer balls
                # (radius ~4 mm vs ~10 mm at 128) tighten the per-tile NN
                # upper bound toward the oracle: conv-stage prune 46.5% ->

@@ -299,3 +299,170 @@ def test_unsupported_extension_raises(tmp_path):
     open(p, "w").close()
     with pytest.raises(ValueError, match="unsupported mesh extension"):
         mesh.Model.load(p, verbose=False)
+
+
+# ---------------------------------------------------------------------------
+# glTF 2.0 / GLB scene-graph loader
+# ---------------------------------------------------------------------------
+
+def _make_glb(gltf_json: dict, bin_data: bytes) -> bytes:
+    """Assemble a minimal GLB container (12-byte header + JSON + BIN chunks)."""
+    import json
+    import struct
+
+    js = json.dumps(gltf_json).encode()
+    js += b" " * (-len(js) % 4)
+    bb = bin_data + b"\x00" * (-len(bin_data) % 4)
+    body = (struct.pack("<I4s", len(js), b"JSON") + js
+            + struct.pack("<I4s", len(bb), b"BIN\x00") + bb)
+    return struct.pack("<4sII", b"glTF", 2, 12 + len(body)) + body
+
+
+def _tri_glb_gltf(scale=None, rotation=None, translation=None, matrix=None,
+                  instance_twice=False):
+    """One right triangle (indexed u2) under an (optionally transformed)
+    node; optionally a second untransformed instance of the same mesh."""
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    idx = np.array([0, 1, 2], np.uint16)
+    bin_data = pos.tobytes() + idx.tobytes()
+    node = {"mesh": 0}
+    for k, v in (("scale", scale), ("rotation", rotation),
+                 ("translation", translation), ("matrix", matrix)):
+        if v is not None:
+            node[k] = v
+    nodes = [node] + ([{"mesh": 0}] if instance_twice else [])
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": list(range(len(nodes)))}],
+        "nodes": nodes,
+        "meshes": [{"primitives": [
+            {"attributes": {"POSITION": 0}, "indices": 1}]}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 3, "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 36, "byteLength": 6},
+        ],
+        "buffers": [{"byteLength": len(bin_data)}],
+    }
+    return gltf, bin_data
+
+
+def test_glb_trs_node_transform(tmp_path):
+    # scale 2, rotate 90 deg about +z (quaternion xyzw), translate (10, 0, 0):
+    # glTF order is T @ R @ S, so (1,0,0) -> scaled (2,0,0) -> rotated
+    # (0,2,0) -> translated (10,2,0)
+    s = 2 ** -0.5
+    gltf, bin_data = _tri_glb_gltf(scale=[2, 2, 2], rotation=[0, 0, s, s],
+                                   translation=[10, 0, 0])
+    p = str(tmp_path / "tri.glb")
+    with open(p, "wb") as f:
+        f.write(_make_glb(gltf, bin_data))
+    m = mesh.Model.load(p, verbose=False)
+    np.testing.assert_allclose(
+        m.vertices, [[10, 0, 0], [10, 2, 0], [8, 0, 0]], atol=1e-5)
+    np.testing.assert_array_equal(m.faces, [[0, 1, 2]])
+
+
+def test_glb_column_major_matrix_and_instancing(tmp_path):
+    # pure-translation matrix in glTF column-major order: translation lands
+    # in elements 12..14; a second node instances the SAME mesh untransformed
+    matrix = [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0, 5, 6, 7, 1]
+    gltf, bin_data = _tri_glb_gltf(matrix=matrix, instance_twice=True)
+    p = str(tmp_path / "two.glb")
+    with open(p, "wb") as f:
+        f.write(_make_glb(gltf, bin_data))
+    m = mesh.Model.load(p, verbose=False)
+    assert m.vertices.shape == (6, 3) and m.faces.shape == (2, 3)
+    np.testing.assert_allclose(m.vertices[:3], np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0]]) + [5, 6, 7], atol=1e-6)
+    np.testing.assert_allclose(
+        m.vertices[3:], [[0, 0, 0], [1, 0, 0], [0, 1, 0]], atol=1e-6)
+    np.testing.assert_array_equal(m.faces, [[0, 1, 2], [3, 4, 5]])
+
+
+def test_glb_nested_hierarchy_composes_parent_then_child(tmp_path):
+    # parent translates by (0, 0, 100); child rotates 90 deg about z THEN the
+    # parent translation applies: (1,0,0) -> (0,1,0) -> (0,1,100)
+    s = 2 ** -0.5
+    gltf, bin_data = _tri_glb_gltf()
+    gltf["nodes"] = [
+        {"translation": [0, 0, 100], "children": [1]},
+        {"mesh": 0, "rotation": [0, 0, s, s]},
+    ]
+    gltf["scenes"] = [{"nodes": [0]}]
+    p = str(tmp_path / "nest.glb")
+    with open(p, "wb") as f:
+        f.write(_make_glb(gltf, bin_data))
+    m = mesh.Model.load(p, verbose=False)
+    np.testing.assert_allclose(
+        m.vertices, [[0, 0, 100], [0, 1, 100], [-1, 0, 100]], atol=1e-5)
+
+
+def test_gltf_json_embedded_base64_interleaved_nonindexed(tmp_path):
+    # .gltf JSON file, data: URI buffer, POSITION interleaved with a dummy
+    # normal (byteStride 24), non-indexed TRIANGLES primitive
+    import base64
+    import json
+
+    inter = np.zeros((3, 6), np.float32)
+    inter[:, :3] = [[0, 0, 0], [1, 0, 0], [0, 1, 0]]
+    bin_data = inter.tobytes()
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0}}]}],
+        "accessors": [{"bufferView": 0, "componentType": 5126, "count": 3,
+                       "type": "VEC3"}],
+        "bufferViews": [{"buffer": 0, "byteOffset": 0,
+                         "byteLength": len(bin_data), "byteStride": 24}],
+        "buffers": [{"byteLength": len(bin_data),
+                     "uri": "data:application/octet-stream;base64,"
+                            + base64.b64encode(bin_data).decode()}],
+    }
+    p = str(tmp_path / "tri.gltf")
+    with open(p, "w") as f:
+        json.dump(gltf, f)
+    m = mesh.Model.load(p, verbose=False)
+    np.testing.assert_allclose(
+        m.vertices, [[0, 0, 0], [1, 0, 0], [0, 1, 0]], atol=1e-6)
+    np.testing.assert_array_equal(m.faces, [[0, 1, 2]])
+
+
+def test_gltf_external_bin_and_error_paths(tmp_path):
+    import json
+
+    gltf, bin_data = _tri_glb_gltf()
+    gltf["buffers"] = [{"byteLength": len(bin_data), "uri": "tri.bin"}]
+    with open(tmp_path / "tri.bin", "wb") as f:
+        f.write(bin_data)
+    p = str(tmp_path / "ext.gltf")
+    with open(p, "w") as f:
+        json.dump(gltf, f)
+    m = mesh.Model.load(p, verbose=False)
+    assert m.n_tris == 1
+
+    # out-of-range index must raise, not wrap
+    bad = json.loads(json.dumps(gltf))
+    bad["accessors"][1]["count"] = 3
+    badbin = bin_data[:36] + np.array([0, 1, 9], np.uint16).tobytes()
+    with open(tmp_path / "tri.bin", "wb") as f:
+        f.write(badbin)
+    with open(p, "w") as f:
+        json.dump(bad, f)
+    with pytest.raises(ValueError, match="out of range"):
+        mesh.Model.load(p, verbose=False)
+
+    # lines-only scene (mode 1) has no triangles -> loud error
+    with open(tmp_path / "tri.bin", "wb") as f:
+        f.write(bin_data)
+    lines = json.loads(json.dumps(gltf))
+    lines["meshes"][0]["primitives"][0]["mode"] = 1
+    with open(p, "w") as f:
+        json.dump(lines, f)
+    with pytest.raises(ValueError, match="no TRIANGLES"):
+        mesh.Model.load(p, verbose=False)

@@ -841,3 +841,93 @@ def test_track_async_defers_saturation_fence(setup):
     assert refiner._check_saturation is False, (
         "synchronous track() must consume the deferred check")
     np.testing.assert_allclose(refined_async, np.asarray(tracked), atol=1e-5)
+
+
+def test_scene_cascade_validation():
+    m = mesh.make_icosphere(radius=50.0, subdivisions=1)
+    K = geometry.LINEMOD_K.copy()
+    with pytest.raises(ValueError, match="NN-scene feature"):
+        prt.PoseRefiner(m, K=K, scene="projective", scene_cascade=(2.0, 16))
+    with pytest.raises(ValueError, match="coarse_voxel_mm > 0"):
+        prt.PoseRefiner(m, K=K, scene="nn_bruteforce", scene_cascade=(0.0, 16))
+    with pytest.raises(ValueError, match="coarse_iters >= 1"):
+        prt.PoseRefiner(m, K=K, scene="nn_bruteforce", scene_cascade=(2.0, 0))
+    with pytest.raises(ValueError, match="coarser than scene_voxel_mm"):
+        prt.PoseRefiner(m, K=K, scene="nn_bruteforce",
+                        scene_voxel_mm=4.0, scene_cascade=(2.0, 16))
+
+
+@pytest.mark.slow
+def test_scene_cascade_matches_full_resolution_refine(setup):
+    """scene_cascade=(coarse_voxel, coarse_iters) + few fine iters recovers
+    the same poses as the full-iteration single-level refine against the
+    raw scene - the coarse pre-pass only repositions the basin entry, the
+    full-resolution pass owns the answer (and the RegistrationResult)."""
+    m, K = setup
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    scene_depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+
+    def build(cascade):
+        ref = prt.PoseRefiner(
+            m, K=K, width=W, height=H, max_points=4096, window=96,
+            scene="nn_bruteforce", use_pallas=False, scene_cascade=cascade)
+        ref.set_scene_depth(scene_depth)
+        return ref
+
+    crit_full = prt.ICPConvergenceCriteria(max_iteration=24)
+    crit_fine = prt.ICPConvergenceCriteria(max_iteration=8)
+    refined_c, res_c = build((4.0, 16)).refine(pose1, criteria=crit_fine)
+    refined_f, res_f = build(None).refine(pose1, criteria=crit_full)
+    # same converged pose to sub-raster tolerance, same quality signals
+    np.testing.assert_allclose(
+        np.asarray(refined_c), np.asarray(refined_f), atol=0.5)
+    assert abs(float(res_c.fitness) - float(res_f.fitness)) < 0.05
+    assert float(res_c.fitness) > 0.7
+
+
+@pytest.mark.slow
+def test_scene_cascade_composes_with_schedule_and_async(setup):
+    m, K = setup
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    scene_depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+    ref = prt.PoseRefiner(
+        m, K=K, width=W, height=H, max_points=4096, window=96,
+        scene="nn_bruteforce", use_pallas=False, scene_cascade=(4.0, 8))
+    ref.set_scene_depth(scene_depth)
+    assert ref._scene_coarse is not None
+    assert ref._scene_coarse.points.shape[0] < ref.scene.points.shape[0]
+
+    # schedule: cascade pre-pass first, then the gate levels at full res
+    refined, res = ref.refine(
+        pose1, criteria=prt.ICPConvergenceCriteria(max_iteration=8),
+        schedule=[(0.3, 6), (0.1, 8)])
+    assert float(res.fitness) > 0.7
+
+    # async: two unfenced cascade dispatches, fenced once
+    pending = ref.refine_async(
+        pose1[None], criteria=prt.ICPConvergenceCriteria(max_iteration=8))
+    (refined_a, res_a), = prt.fence(pending)
+    assert float(res_a.fitness[0]) > 0.7
+
+    # covariance comes from the full-resolution pass
+    _, res_cov, unc = ref.refine(
+        pose1[None], criteria=prt.ICPConvergenceCriteria(max_iteration=8),
+        with_covariance=True)
+    assert np.isfinite(np.asarray(unc.covariance)).all()
+
+
+def test_scene_cascade_from_cloud(setup):
+    m, K = setup
+    pose1, pose2, _ = reference_demo_poses()
+    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
+    scene_depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+    from pose_refine_tpu.scene.nn import SceneNN
+    host = SceneNN.from_depth(scene_depth, K, backend="bruteforce")
+    ref = prt.PoseRefiner(
+        m, K=K, width=W, height=H, max_points=4096, window=96,
+        scene="nn_bruteforce", use_pallas=False, scene_cascade=(6.0, 4))
+    ref.set_scene_cloud(np.asarray(host.points), np.asarray(host.normals))
+    assert ref._scene_coarse is not None
+    assert ref._scene_coarse.points.shape[0] < ref.scene.points.shape[0]

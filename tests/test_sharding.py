@@ -106,6 +106,33 @@ def test_poserefiner_class_sharded_matches_single_device(ndev):
         np.asarray(res_s.n_points), np.asarray(res_1.n_points))
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("scene", ["nn_bruteforce", "nn"])
+def test_poserefiner_class_sharded_nn_scene_matches_single(scene):
+    """NN scenes (flash kernel AND kd traversal) through the sharded class
+    path == single-device: the scene table/tree replicates over the mesh
+    while the pose batch shards (same one-scene-many-poses layout as
+    projective; pcd_scene.h's device struct is the reference analogue).
+    Not bit-exact: the NN query's reduction trees repartition under GSPMD,
+    whose float reassociation can flip the Δ<1e-5 convergence latch one
+    iteration earlier/later (measured pose delta ≤3e-3 here - far under
+    raster quantization; same caveat as the fused track() test below)."""
+    m, K, scene_depth, poses = _class_workload(6)
+
+    def run(devices):
+        r = prt.PoseRefiner(m, K=K, width=W, height=H, scene=scene,
+                            max_points=512, window=96, stride=2,
+                            devices=devices)
+        r.set_scene_depth(scene_depth)
+        refined, res = r.refine(poses)
+        return np.asarray(refined), np.asarray(res.fitness)
+
+    refined_s, fit_s = run(8)
+    refined_1, fit_1 = run(1)
+    np.testing.assert_allclose(refined_s, refined_1, atol=0.02)
+    np.testing.assert_allclose(fit_s, fit_1, atol=0.01)
+
+
 def test_poserefiner_auto_devices_stays_single_on_cpu():
     """devices=None must NOT hijack CPU hosts (the 8-virtual-device test
     mesh included) - auto-sharding engages only on real device backends."""
