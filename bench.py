@@ -469,7 +469,46 @@ def _probe_backend(timeout_s: float = 150.0) -> bool:
     return False
 
 
+def _probe_backend_with_retry(
+    probe_timeout_s: float = 90.0,
+    retry_interval_s: float = 300.0,
+    budget_s: float = 2700.0,
+) -> bool:
+    """Bounded probe-retry: the tunnel wedge is usually transient, and a
+    single failed probe at snapshot time cost round 4 its entire bench
+    artifact (BENCH_r04 rc=3). Probe every ~5 min for up to ~45 min before
+    giving up with the same rc=3 diagnostic. Tunable via env:
+    PRT_BENCH_PROBE_BUDGET_S=0 restores single-probe behavior."""
+    import os
+
+    budget_s = float(os.environ.get("PRT_BENCH_PROBE_BUDGET_S", budget_s))
+    t0 = time.perf_counter()
+    attempt = 0
+    while True:
+        attempt += 1
+        if _probe_backend(probe_timeout_s):
+            if attempt > 1:
+                sys.stderr.write(
+                    f"# bench: backend recovered on probe {attempt} after "
+                    f"{time.perf_counter() - t0:.0f}s\n"
+                )
+            return True
+        elapsed = time.perf_counter() - t0
+        remaining = budget_s - elapsed
+        if remaining <= retry_interval_s:
+            sys.stderr.write(
+                f"# bench: giving up after {attempt} probes / {elapsed:.0f}s "
+                "- TPU tunnel stayed wedged for the whole retry budget.\n"
+            )
+            return False
+        sys.stderr.write(
+            f"# bench: probe {attempt} failed; retrying in "
+            f"{retry_interval_s:.0f}s ({remaining:.0f}s of budget left)\n"
+        )
+        time.sleep(retry_interval_s)
+
+
 if __name__ == "__main__":
-    if not _probe_backend():
+    if not _probe_backend_with_retry():
         sys.exit(3)
     main()

@@ -365,13 +365,18 @@ def _gltf_accessor(gltf: dict, buffers: list, idx: int) -> np.ndarray:
     start = int(bv.get("byteOffset", 0)) + int(acc.get("byteOffset", 0))
     packed = dtype.itemsize * ncomp
     stride = int(bv.get("byteStride") or packed)
+    # bound every read by the VIEW, not the whole buffer: a malformed
+    # accessor whose count overruns its bufferView must error, not silently
+    # read bytes from the following bufferView
+    view_end = int(bv.get("byteOffset", 0)) + int(
+        bv.get("byteLength", len(buf) - int(bv.get("byteOffset", 0))))
+    if count and start + stride * (count - 1) + packed > min(view_end, len(buf)):
+        raise ValueError("glTF accessor out of bufferView range")
     if stride == packed:
         out = np.frombuffer(buf, dtype, count * ncomp, start).reshape(count, ncomp)
     else:  # interleaved: gather each element's bytes, then reinterpret
         raw = np.frombuffer(buf, np.uint8)
         offs = (start + stride * np.arange(count))[:, None] + np.arange(packed)[None, :]
-        if len(raw) < start + stride * (count - 1) + packed:
-            raise ValueError("glTF bufferView out of range")
         out = raw[offs].view(dtype).reshape(count, ncomp)
     return out
 

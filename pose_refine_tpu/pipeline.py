@@ -386,6 +386,16 @@ class PoseRefiner:
         self._scene_coarse = None
         if scene_pool != "auto" and int(scene_pool) < 1:
             raise ValueError(f"scene_pool must be >= 1, got {scene_pool}")
+        if scene_pool != "auto" and int(scene_pool) > 1 and self.scene_stride > 1:
+            # from_depth_device rejects the combination at trace time (the
+            # pooled grid and the strided grid disagree on row mapping);
+            # fail here, where the other config invariants are checked, not
+            # with a confusing error from inside the first track() jit trace
+            raise ValueError(
+                f"scene_pool ({scene_pool}) and scene_stride "
+                f"({self.scene_stride}) are alternative NN-scene "
+                "downsamplers - set at most one of them > 1"
+            )
         self.scene_pool = scene_pool if scene_pool == "auto" else int(scene_pool)
         self._scene_pool_cache = None  # resolved "auto" value (static/jit)
         self.K = np.asarray(K, np.float32)
@@ -949,7 +959,12 @@ class PoseRefiner:
         scene_ids: required after :meth:`set_scene_depths` - (N,) int frame
         index per hypothesis, routing each pose to its own scene frame
         inside ONE fused program (the reference needs a CUDA stream per
-        scene for this, README.md:15).
+        scene for this, README.md:15). Host-side ids are range-checked;
+        DEVICE-RESIDENT ids are validated by shape only (a min/max readback
+        would fence refine_async's dispatch chain), and an out-of-range
+        device id clamps to the nearest valid frame row - i.e. it silently
+        associates against frame 0 / frame n_scenes-1 rather than failing.
+        Keep device ids in [0, n_scenes) at the producer.
 
         schedule: optional coarse-to-fine association schedule - a list of
         (max_dist_diff_m, max_iteration) levels, e.g. [(0.25, 10), (0.05, 20)].

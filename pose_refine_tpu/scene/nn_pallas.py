@@ -158,9 +158,11 @@ UB_BALL = 32   # scene points per upper-bound ball (pass 1). Finer balls
                # near-oracle (75.8%) territory for +5 lane-chunks of pass-1.
 
 
-def _kernel_gated(gate_ref, boxes_ref, cents_ref, scene_ref, q_ref,
+def _kernel_gated(gate_ref, fid_ref, boxes_ref, cents_ref, scene_ref, q_ref,
                   idx_ref, dist_ref, best_ref, bchunk_ref, *, group: int,
-                  q_tile: int = GQ_TILE, use_tile_bound: bool = True):
+                  q_tile: int = GQ_TILE, use_tile_bound: bool = True,
+                  n_chunks_pf: int = 0, n_groups_pf: int = 0,
+                  n_cch_pf: int = 0):
     """Flash-NN with bbox pruning against the association gate AND a
     per-tile nearest-neighbor distance upper bound.
 

@@ -470,7 +470,20 @@ class TrackingSession:
         except BaseException:
             self._rng.bit_generator.state = rng_state
             raise
-        prev = self._fuse_inflight()
+        # fusing the PREVIOUS frame can itself fail (e.g. LinAlgError in the
+        # filter update). Restore the FULL pre-call state then - rng, filter,
+        # and the still-pending previous frame - discarding the just-enqueued
+        # program's result; a corrected retry re-enqueues it with the same
+        # hypotheses because the rng stream rolled back too.
+        prev_inflight = self._inflight
+        tracker_state = self.tracker.state_dict()
+        try:
+            prev = self._fuse_inflight()
+        except BaseException:
+            self._rng.bit_generator.state = rng_state
+            self.tracker = PoseTracker.from_state(tracker_state)
+            self._inflight = prev_inflight
+            raise
         self._inflight = (packed, has_np, motion_mm)
         return prev
 
@@ -767,7 +780,19 @@ class MultiObjectSession:
         except BaseException:
             self._rng.bit_generator.state = rng_state
             raise
-        prev = self._fuse_inflight()
+        # same rollback as TrackingSession.step_async: a failed fuse of the
+        # previous frame must not drop the pending frame nor leave the rng /
+        # filters advanced (atomic-step contract)
+        prev_inflight = self._inflight
+        tracker_states = [t.state_dict() for t in self.trackers]
+        try:
+            prev = self._fuse_inflight()
+        except BaseException:
+            self._rng.bit_generator.state = rng_state
+            self.trackers = [
+                PoseTracker.from_state(s) for s in tracker_states]
+            self._inflight = prev_inflight
+            raise
         self._inflight = (packed, has_np, motions_mm)
         return prev
 

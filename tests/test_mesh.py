@@ -457,6 +457,17 @@ def test_gltf_external_bin_and_error_paths(tmp_path):
     with pytest.raises(ValueError, match="out of range"):
         mesh.Model.load(p, verbose=False)
 
+    # a tightly-packed accessor whose count overruns its bufferView must
+    # error, not silently read bytes from the NEXT bufferView (ADVICE r4)
+    with open(tmp_path / "tri.bin", "wb") as f:
+        f.write(bin_data)
+    overrun = json.loads(json.dumps(gltf))
+    overrun["accessors"][0]["count"] = 4  # view holds 3 vec3 (36 bytes)
+    with open(p, "w") as f:
+        json.dump(overrun, f)
+    with pytest.raises(ValueError, match="bufferView range"):
+        mesh.Model.load(p, verbose=False)
+
     # lines-only scene (mode 1) has no triangles -> loud error
     with open(tmp_path / "tri.bin", "wb") as f:
         f.write(bin_data)

@@ -136,6 +136,12 @@ def test_scene_pool_validation():
         SceneNN.from_depth_device(
             np.zeros((8, 8), np.int32), geometry.LINEMOD_K,
             stride=2, pool=2)
+    # the explicit pool>1 + stride>1 misconfig must fail at __init__ where
+    # the other invariants are checked, not as a trace-time error from
+    # inside the first track() jit (ADVICE r4)
+    with pytest.raises(ValueError, match="alternative"):
+        prt.PoseRefiner(m, K=geometry.LINEMOD_K, scene="nn_bruteforce",
+                        scene_pool=2, scene_stride=2)
 
 
 def test_scene_pool_auto_defers_on_empty_first_frame(caplog):

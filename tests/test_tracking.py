@@ -444,6 +444,83 @@ def test_failed_step_does_not_mutate_session(setup):
     _assert_state_equal(before, session.state_dict())
 
 
+def test_failed_fuse_rolls_back_step_async(setup, monkeypatch):
+    """step_async enqueues the NEW frame, then fuses the PREVIOUS one. If
+    that fusion fails (e.g. LinAlgError inside the filter update), the full
+    pre-call state must come back: rng stream, filter, and the pending
+    previous frame - otherwise the enqueued result is silently dropped
+    while the stream stays advanced (ADVICE r4)."""
+    import json as _json
+
+    import pose_refine_tpu.tracking as tracking_mod
+
+    m, K, r = setup
+    _, pose2, _ = reference_demo_poses()
+    session = prt.TrackingSession(_refiner(m, K), pose2, n_hypotheses=3,
+                                  seed=6)
+    depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+    assert session.step_async(depth) is None  # frame 1 now in flight
+
+    rng_before = _json.dumps(session._rng.bit_generator.state)
+    tracker_before = session.tracker.state_dict()
+    inflight_before = session._inflight
+    n_before = session.n_frames
+
+    def boom(*a, **k):
+        raise np.linalg.LinAlgError("synthetic fuse failure")
+
+    monkeypatch.setattr(tracking_mod, "_fuse_ranked_best", boom)
+    with pytest.raises(np.linalg.LinAlgError):
+        session.step_async(depth)
+    monkeypatch.undo()
+
+    assert session._inflight is inflight_before  # pending frame re-installed
+    assert _json.dumps(session._rng.bit_generator.state) == rng_before
+    _assert_state_equal(tracker_before, session.tracker.state_dict())
+    assert session.n_frames == n_before
+    # the corrected retry replays the same stream and fuses frame 1
+    step = session.step_async(depth)
+    assert step is not None and step.accepted
+    assert session.flush() is not None
+
+
+def test_failed_fuse_rolls_back_multi_step_async(multi_setup, monkeypatch):
+    """MultiObjectSession twin of the fuse-failure rollback."""
+    import json as _json
+
+    import pose_refine_tpu.tracking as tracking_mod
+
+    refiner, r_a, r_b, pose_a, pose_b = multi_setup
+    session = prt.MultiObjectSession(
+        refiner, [(0, pose_a), (1, pose_b)], n_hypotheses=3, seed=3)
+    depth = _composite(
+        np.asarray(r_a.render_depth(pose_a))[0].astype(np.int32),
+        np.asarray(r_b.render_depth(pose_b))[0].astype(np.int32))
+    assert session.step_async(depth) is None
+
+    rng_before = _json.dumps(session._rng.bit_generator.state)
+    trackers_before = [t.state_dict() for t in session.trackers]
+    inflight_before = session._inflight
+    n_before = session.n_frames
+
+    def boom(*a, **k):
+        raise np.linalg.LinAlgError("synthetic fuse failure")
+
+    monkeypatch.setattr(tracking_mod, "_fuse_ranked_best", boom)
+    with pytest.raises(np.linalg.LinAlgError):
+        session.step_async(depth)
+    monkeypatch.undo()
+
+    assert session._inflight is inflight_before
+    assert _json.dumps(session._rng.bit_generator.state) == rng_before
+    for before, tracker in zip(trackers_before, session.trackers):
+        _assert_state_equal(before, tracker.state_dict())
+    assert session.n_frames == n_before
+    steps = session.step_async(depth)
+    assert steps is not None and all(s.accepted for s in steps)
+    assert session.flush() is not None
+
+
 def test_failed_step_does_not_mutate_multi_session(multi_setup):
     """The MultiObjectSession twin of the rollback contract: every
     tracker's filter AND the shared rng stream roll back when the fused
