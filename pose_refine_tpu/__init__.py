@@ -40,6 +40,7 @@ from pose_refine_tpu.scene import (  # noqa: F401
     SceneProjective,
     SceneProjectiveStack,
     SceneNN,
+    SceneNNStack,
     KDTree,
     build_kdtree,
 )

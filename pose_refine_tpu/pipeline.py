@@ -28,7 +28,7 @@ from pose_refine_tpu import geometry, icp
 from pose_refine_tpu.mesh import Model, morton_order
 from pose_refine_tpu.ops import rasterize as rz
 from pose_refine_tpu.ops.depth_to_cloud import compact_points, depth_image_to_points
-from pose_refine_tpu.scene.nn import SceneNN
+from pose_refine_tpu.scene.nn import SceneNN, SceneNNStack
 from pose_refine_tpu.scene.projective import SceneProjective
 
 logger = logging.getLogger("pose_refine_tpu")
@@ -129,7 +129,7 @@ def refine_poses_jit(
         # tile-level bound can prune (nn_pallas._kernel_gated). Projective
         # association is an image gather: order is irrelevant there, skip
         # the reorder cost. Static decision: the scene TYPE is trace-time.
-        nn_order = isinstance(scene, SceneNN)
+        nn_order = isinstance(scene, (SceneNN, SceneNNStack))
         if max_points < n_window:
             clouds, valids, _n = jax.vmap(
                 lambda p, v: compact_topk(
@@ -884,15 +884,22 @@ class PoseRefiner:
         here the frames share one flat table and each pose's row gather is
         offset by its frame index - no padding, no extra gather cost).
 
-        Projective scenes only (the NN backends bind per-scene search
-        structures); frame planning (auto ROI/window/points) uses the
-        UNION of the frames' objects via a max-projection, so every frame's
-        object stays inside the crop."""
-        if self.scene_kind != "projective":
+        NN scenes stack too (flash/bruteforce backends; the gated kernel
+        windows its scan to each pose's frame region, so per-pose cost is
+        one frame's scan - scene/nn.py SceneNNStack). 'nn_kdtree' cannot:
+        the kd traversal binds per-scene tree arrays. Frame planning (auto
+        ROI/window/points) uses the UNION of the frames' objects via a
+        max-projection, so every frame's object stays inside the crop."""
+        if self.scene_kind == "nn_kdtree":
             raise ValueError(
-                "set_scene_depths (stacked multi-frame scenes) supports "
-                f"scene='projective' only, not {self.scene_kind!r}; refine "
-                "NN scenes per frame (refine_async overlaps the dispatches)"
+                "set_scene_depths (stacked multi-frame scenes) cannot use "
+                "scene='nn_kdtree' (per-scene tree arrays); use "
+                "'nn'/'nn_bruteforce' (flash backend) or 'projective'"
+            )
+        if self.scene_cascade is not None and self.scene_kind != "projective":
+            raise ValueError(
+                "scene_cascade is per-frame (a coarse voxel twin); it does "
+                "not compose with stacked NN scenes - drop one of the two"
             )
         frames = np.asarray(scene_depths)
         if frames.ndim != 3 or frames.shape[0] < 1:
@@ -901,14 +908,20 @@ class PoseRefiner:
             )
         # union planning frame: max over frames keeps every object pixel
         self._prepare_frame(frames.max(axis=0))
-        from pose_refine_tpu.scene.projective import SceneProjectiveStack
+        if self.scene_kind == "projective":
+            from pose_refine_tpu.scene.projective import SceneProjectiveStack
 
-        self.scene = SceneProjectiveStack.from_depths(
-            frames, self.K, self.max_dist_diff
-        )
+            self.scene = SceneProjectiveStack.from_depths(
+                frames, self.K, self.max_dist_diff
+            )
+        else:
+            self.scene = SceneNNStack.from_depths(
+                frames, self.K, self.max_dist_diff,
+                voxel_mm=self.scene_voxel_mm,
+            )
         logger.info(
-            "scene built: kind=projective x%d frames (stacked)",
-            self.scene.n_scenes,
+            "scene built: kind=%s x%d frames (stacked)",
+            self.scene_kind, self.scene.n_scenes,
         )
         return self
 
@@ -1001,7 +1014,7 @@ class PoseRefiner:
             raise ValueError(f"init_poses must be (4, 4) or (N, 4, 4), got {init_shape}")
         from pose_refine_tpu.scene.projective import SceneProjectiveStack
 
-        if isinstance(scene, SceneProjectiveStack):
+        if isinstance(scene, (SceneProjectiveStack, SceneNNStack)):
             if scene_ids is None:
                 raise ValueError(
                     "the scene is a stacked multi-frame table "

@@ -255,16 +255,19 @@ class SceneNN:
         return rows[..., 0:3], rows[..., 3:6], valid
 
 
-def _pack_scene_np(pts: np.ndarray) -> np.ndarray:
+def _pack_scene_np(pts: np.ndarray, rows: int | None = None) -> np.ndarray:
     """Numpy twin of nn_pallas.pack_scene (host scene builds must not touch
     the device - see from_cloud). Identical layout: (8, S_pad) field-major
     [x, y, z, |s|^2], padded entries carry |s|^2 = BIG with the last real
-    point's coords (tight chunk boxes)."""
+    point's coords (tight chunk boxes). ``rows`` pads to an explicit row
+    count instead of the next S_CHUNK multiple (stacked scenes pad every
+    frame to the widest frame so the per-frame regions share one static
+    size)."""
     from pose_refine_tpu.scene.nn_pallas import BIG, S_CHUNK
 
     s = np.ascontiguousarray(pts, np.float32)
     ns = s.shape[0]
-    spad = (-ns) % S_CHUNK
+    spad = ((-ns) % S_CHUNK) if rows is None else rows - ns
     ssq = np.sum(s * s, axis=-1, keepdims=True, dtype=np.float32)
     stab = np.concatenate([s, ssq, np.zeros((ns, 4), np.float32)], axis=1)
     if spad:
@@ -274,6 +277,146 @@ def _pack_scene_np(pts: np.ndarray) -> np.ndarray:
              np.zeros((spad, 4), np.float32)], axis=1)
         stab = np.concatenate([stab, pad_rows], axis=0)
     return np.ascontiguousarray(stab.T)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneNNStack:
+    """K NN scene frames stacked into ONE set of flat tables, addressed per
+    pose by a scene id - the NN twin of
+    :class:`~pose_refine_tpu.scene.projective.SceneProjectiveStack`.
+
+    The reference serves mixed scenes with one CUDA stream per frame
+    (README.md:15); here K frames share one fused program. Every frame's
+    kd-reordered point table is padded to the widest frame's S_CHUNK
+    multiple, so the stacked flash table is K equal-width regions on the
+    lane axis and the gated kernel windows all three of its loops to
+    ``frame_id``'s region (nn_pallas._kernel_gated) - per-pose scan cost is
+    ONE frame's, not the stack's, and results match the per-frame scene
+    exactly (same kd reorder -> same chunk content -> same in-gate NN,
+    ties included).
+
+    Flash/bruteforce backends only: the kd traversal binds per-scene tree
+    arrays (and is unusable on tunneled runtimes regardless - CLAUDE.md).
+    """
+
+    table: jnp.ndarray        # (K*P_pad, 8) [pcd xyz, normal xyz, 0, 0]
+    points: jnp.ndarray       # (K*P_pad, 3) pad rows parked FAR (CPU path)
+    flash_table: jnp.ndarray  # (8, K*P_pad) per-frame pack_scene, stacked
+    flash_boxes: jnp.ndarray  # (K*ncpf, 8) per-frame chunk boxes, frame-major
+    max_dist_diff: jnp.ndarray  # () float32
+    frame_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
+    n_scenes: int = dataclasses.field(metadata=dict(static=True), default=1)
+    backend: str = dataclasses.field(
+        metadata=dict(static=True), default="bruteforce")
+
+    @classmethod
+    def from_clouds(
+        cls, clouds, normals, max_dist_diff: float = 0.1,
+        leaf_size: int = 10, backend: str = "bruteforce",
+    ) -> "SceneNNStack":
+        """Build from K (point, normal) cloud pairs (lists of (P_k, 3)
+        arrays). Each frame is kd-REORDERED (build_kdtree, for tight chunk
+        boxes - the same order its standalone SceneNN would use) then
+        padded to the widest frame."""
+        from pose_refine_tpu.scene.nn_pallas import S_CHUNK
+
+        if backend not in ("bruteforce", "flash"):
+            raise ValueError(
+                f"SceneNNStack supports the 'bruteforce'/'flash' backends, "
+                f"not {backend!r} (the kd traversal binds per-scene trees)"
+            )
+        if len(clouds) != len(normals) or not clouds:
+            raise ValueError("from_clouds wants equal-length non-empty lists")
+        ordered = []
+        for p, n in zip(clouds, normals):
+            tree = build_kdtree(np.asarray(p), np.asarray(n), leaf_size)
+            ordered.append((tree.points, tree.normals))
+        rows = max(len(p) for p, _ in ordered)
+        rows += (-rows) % S_CHUNK
+        flash = [_pack_scene_np(p, rows=rows) for p, _ in ordered]
+        packed, far_pts = [], []
+        for p, n in ordered:
+            pad = rows - len(p)
+            packed.append(np.concatenate([
+                np.concatenate([p, n, np.zeros((len(p), 2), np.float32)], 1),
+                np.zeros((pad, 8), np.float32)], 0))
+            far_pts.append(np.concatenate([
+                p, np.full((pad, 3), 1.0e6, np.float32)], 0))
+        boxes = np.concatenate([_chunk_boxes_np(f) for f in flash], axis=0)
+        return cls(
+            table=jnp.asarray(np.concatenate(packed, axis=0)),
+            points=jnp.asarray(np.concatenate(far_pts, axis=0)),
+            flash_table=jnp.asarray(np.concatenate(flash, axis=1)),
+            flash_boxes=jnp.asarray(boxes),
+            max_dist_diff=jnp.float32(max_dist_diff),
+            frame_rows=int(rows),
+            n_scenes=len(ordered),
+            backend=backend,
+        )
+
+    @classmethod
+    def from_depths(
+        cls, depths, K, max_dist_diff: float = 0.1, leaf_size: int = 10,
+        backend: str = "bruteforce", voxel_mm: float = 0.0,
+    ) -> "SceneNNStack":
+        """Build from (K, H, W) mm depth frames: the host numpy pipeline of
+        SceneNN.from_depth per frame (points + LINEMOD normals + optional
+        voxel downsample), stacked."""
+        frames = np.asarray(depths)
+        if frames.ndim != 3 or frames.shape[0] < 1:
+            raise ValueError(
+                f"from_depths wants (K, H, W) frames, got {frames.shape}"
+            )
+        clouds, nrms = [], []
+        for d in frames:
+            pts, nrm, mask = _depth_scene_arrays_host(d, K)
+            m = mask.reshape(-1)
+            p = pts.reshape(-1, 3)[m]
+            n = nrm.reshape(-1, 3)[m]
+            if voxel_mm > 0.0:
+                p, n = voxel_downsample(p, n, voxel_mm / 1000.0)
+            if not len(p):
+                raise ValueError(
+                    "a scene frame has no valid depth pixels - cannot "
+                    "stack an empty NN scene"
+                )
+            clouds.append(p)
+            nrms.append(n)
+        return cls.from_clouds(
+            clouds, nrms, max_dist_diff, leaf_size, backend)
+
+    def query_at(self, sid):
+        """The NN query closure bound to frame ``sid`` (a traced int32
+        scalar) - vmapped over poses so each lane associates against its
+        own frame with ONE frame's scan cost (the gated kernel windows to
+        the frame's chunk region)."""
+        sid = jnp.asarray(sid, jnp.int32)
+        base = sid * jnp.int32(self.frame_rows)
+
+        def query(src):
+            if self.backend == "flash" or jax.default_backend() != "cpu":
+                from pose_refine_tpu.scene.nn_pallas import nn_flash_gated
+
+                idx, dist_sq = nn_flash_gated(
+                    src, self.flash_table, self.flash_boxes,
+                    self.max_dist_diff,
+                    interpret=jax.default_backend() == "cpu",
+                    frame_id=sid, frames=self.n_scenes,
+                )
+            else:
+                # CPU bruteforce: slice the frame's rows (static size,
+                # traced start - batches cleanly under vmap), then lift
+                # the frame-local argmin back to stacked-table rows
+                pts = jax.lax.dynamic_slice(
+                    self.points, (base, jnp.int32(0)), (self.frame_rows, 3))
+                idx, dist_sq = _nn_bruteforce(src, pts)
+                idx = idx + base
+            valid = dist_sq < self.max_dist_diff * self.max_dist_diff
+            rows = jnp.take(self.table, idx, axis=0)
+            return rows[..., 0:3], rows[..., 3:6], valid
+
+        return query
 
 
 def _chunk_boxes_np(scene_table: np.ndarray) -> np.ndarray:

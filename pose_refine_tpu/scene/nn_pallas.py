@@ -190,6 +190,15 @@ def _kernel_gated(gate_ref, fid_ref, boxes_ref, cents_ref, scene_ref, q_ref,
     so per-chunk boxes overflow the ~1 MB SMEM budget past ~2000 chunks
     (260k scene points) - nn_flash_gated picks the smallest group that
     fits. group == 1 for ordinary scenes (per-chunk pruning, unchanged).
+
+    Stacked multi-frame scenes (SceneNNStack): every per-frame region of the
+    stacked tables has the SAME static size (n_chunks_pf chunks,
+    n_groups_pf box rows, n_cch_pf ball chunks), and fid_ref carries this
+    query batch's frame id - all three loops below window to the frame's
+    region, so a pose associates against ITS frame only (and the scan cost
+    is one frame's, not the stack's). The single-frame case passes fid=0
+    with per-frame sizes == totals, which reduces every offset to the
+    original code path.
     """
     qx = q_ref[:, 0:1]
     qy = q_ref[:, 1:2]
@@ -199,13 +208,12 @@ def _kernel_gated(gate_ref, fid_ref, boxes_ref, cents_ref, scene_ref, q_ref,
     qlo_y, qhi_y = jnp.min(q_ref[:, 1]), jnp.max(q_ref[:, 1])
     qlo_z, qhi_z = jnp.min(q_ref[:, 2]), jnp.max(q_ref[:, 2])
     gate2 = gate_ref[0, 0]
-    n_groups = boxes_ref.shape[0]
+    fid = fid_ref[0, 0]
 
     # ---- pass 1: per-tile NN-distance upper bound from chunk balls ----
     # (use_tile_bound=False falls back to gate-only pruning - the A/B
     # baseline for scripts/nn_tile_bound_study.py)
     if use_tile_bound:
-        n_cch = cents_ref.shape[1] // S_CHUNK
 
         def ub_body(cc, ub):
             off = pl.multiple_of(cc * S_CHUNK, S_CHUNK)
@@ -220,7 +228,8 @@ def _kernel_gated(gate_ref, fid_ref, boxes_ref, cents_ref, scene_ref, q_ref,
             return jnp.minimum(ub, d)
 
         ub = jax.lax.fori_loop(
-            0, n_cch, ub_body, jnp.full((q_tile, S_CHUNK), BIG, jnp.float32)
+            fid * n_cch_pf, (fid + 1) * n_cch_pf, ub_body,
+            jnp.full((q_tile, S_CHUNK), BIG, jnp.float32)
         )
         gate = jnp.sqrt(gate2)
         # per-query bound clamped to the gate BEFORE the tile max: one
@@ -254,14 +263,16 @@ def _kernel_gated(gate_ref, fid_ref, boxes_ref, cents_ref, scene_ref, q_ref,
                 bchunk_ref[...] = jnp.where(better, c, bchunk_ref[...])
                 return 0
 
-            n_chunks = scene_ref.shape[1] // S_CHUNK
-            jax.lax.fori_loop(
-                g * group, jnp.minimum((g + 1) * group, n_chunks), chunk_body, 0
-            )
+            # box row g covers chunks [gl*group, gl*group+group) of frame
+            # fid, whose chunk region starts at fid*n_chunks_pf
+            gl = g - fid * n_groups_pf
+            c0 = fid * n_chunks_pf + gl * group
+            c1 = fid * n_chunks_pf + jnp.minimum(gl * group + group, n_chunks_pf)
+            jax.lax.fori_loop(c0, c1, chunk_body, 0)
 
         return 0
 
-    jax.lax.fori_loop(0, n_groups, body, 0)
+    jax.lax.fori_loop(fid * n_groups_pf, (fid + 1) * n_groups_pf, body, 0)
 
     best = best_ref[...]
     bchunk = bchunk_ref[...]
@@ -276,11 +287,13 @@ def _kernel_gated(gate_ref, fid_ref, boxes_ref, cents_ref, scene_ref, q_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "interpret", "use_tile_bound", "q_tile", "ub_ball", "_max_box_rows"))
+    "interpret", "use_tile_bound", "q_tile", "ub_ball", "_max_box_rows",
+    "frames"))
 def nn_flash_gated(queries, scene_table, boxes, max_dist,
                    interpret: bool = False, use_tile_bound: bool = True,
                    q_tile: int = GQ_TILE, ub_ball: int = UB_BALL,
-                   _max_box_rows: int = 1024):
+                   _max_box_rows: int = 1024,
+                   frame_id=None, frames: int = 1):
     """Gate-exact NN: identical to nn_flash_packed for every query whose true
     NN lies within max_dist; queries with no scene point inside the gate get
     dist_sq = BIG (invalid under the gate either way).
@@ -290,9 +303,23 @@ def nn_flash_gated(queries, scene_table, boxes, max_dist,
     (queries per grid step) and ub_ball (scene points per pass-1 bounding
     ball; must divide S_CHUNK) trade pruning tightness against per-tile
     fixed costs - defaults picked by scripts/nn_tile_bound_study.py.
+
+    Stacked multi-frame scenes: pass frames=K (static) with scene_table K
+    per-frame pack_scene tables of EQUAL width concatenated on the lane
+    axis, boxes their per-frame chunk_boxes stacked frame-major, and
+    frame_id the (traced int32) frame this query batch associates against.
+    The kernel windows every loop to the frame's region, so cost and
+    result match a single-frame call on that frame's table alone - one
+    program serves K heterogeneous scenes (SceneNNStack; vmapping over
+    poses batches frame_id per pose).
     """
     if S_CHUNK % ub_ball:
         raise ValueError(f"ub_ball must divide S_CHUNK={S_CHUNK}, got {ub_ball}")
+    if scene_table.shape[1] % (frames * S_CHUNK):
+        raise ValueError(
+            f"stacked scene table width {scene_table.shape[1]} is not "
+            f"{frames} equal per-frame multiples of S_CHUNK={S_CHUNK}"
+        )
     q = jnp.asarray(queries, jnp.float32)
     flat = q.reshape(-1, 3)
     nq = flat.shape[0]
@@ -322,36 +349,55 @@ def nn_flash_gated(queries, scene_table, boxes, max_dist,
     rad = 0.5 * jnp.linalg.norm((bhi - blo).T, axis=1, keepdims=True)
     cents = jnp.concatenate(
         [ctr, rad, jnp.zeros((ctr.shape[0], 4), jnp.float32)], axis=1)
-    cpad = (-cents.shape[0]) % S_CHUNK
+    # pad the ball table to an S_CHUNK multiple PER FRAME (frame regions
+    # must share one static chunk count for the kernel's fid windowing);
+    # frames == 1 keeps the original single tail pad
+    nb_pf = cents.shape[0] // frames
+    n_cch_pf = -(-nb_pf // S_CHUNK)
+    cpad = n_cch_pf * S_CHUNK - nb_pf
     if cpad:
         far = jnp.concatenate(
-            [jnp.full((cpad, 3), 1.0e18), jnp.zeros((cpad, 5))], axis=1
+            [jnp.full((frames, cpad, 3), 1.0e18), jnp.zeros((frames, cpad, 5))],
+            axis=2,
         ).astype(jnp.float32)
-        cents = jnp.concatenate([cents, far], axis=0)
-    cents = cents.T  # (8, Nc_pad)
+        cents = jnp.concatenate(
+            [cents.reshape(frames, nb_pf, 8), far], axis=1
+        ).reshape(frames * n_cch_pf * S_CHUNK, 8)
+    cents = cents.T  # (8, frames * n_cch_pf * S_CHUNK)
     # SMEM scalars pad to 16 B each; keep the box table <= ~1024 rows by
     # gating GROUPS of chunks for very large scenes (group 1 = per-chunk;
-    # _max_box_rows is only lowered by tests to cover the merge path)
+    # _max_box_rows is only lowered by tests to cover the merge path).
+    # Grouping is per frame so every frame spans the same static row count.
     n_chunks = boxes.shape[0]
-    group = -(-n_chunks // _max_box_rows)
+    n_chunks_pf = n_chunks // frames
+    group = -(-n_chunks_pf // max(_max_box_rows // frames, 1))
+    n_groups_pf = -(-n_chunks_pf // group)
     if group > 1:
-        pad = (-n_chunks) % group
+        pad = n_groups_pf * group - n_chunks_pf
+        b = boxes.reshape(frames, n_chunks_pf, 8)
         if pad:
             empty = jnp.concatenate(
-                [jnp.full((pad, 3), BIG), jnp.zeros((pad, 1)),
-                 jnp.full((pad, 3), -BIG), jnp.zeros((pad, 1))], axis=1
+                [jnp.full((frames, pad, 3), BIG), jnp.zeros((frames, pad, 1)),
+                 jnp.full((frames, pad, 3), -BIG), jnp.zeros((frames, pad, 1))],
+                axis=2,
             ).astype(jnp.float32)
-            boxes = jnp.concatenate([boxes, empty], axis=0)
-        b = boxes.reshape(-1, group, 8)
+            b = jnp.concatenate([b, empty], axis=1)
+        b = b.reshape(frames * n_groups_pf, group, 8)
         boxes = jnp.concatenate(
             [b[..., :4].min(axis=1), b[..., 4:].max(axis=1)], axis=1
         )
+    fid = jnp.reshape(
+        jnp.zeros((), jnp.int32) if frame_id is None
+        else jnp.asarray(frame_id, jnp.int32), (1, 1))
     grid = (qtab.shape[0] // q_tile,)
     idx, dist = pl.pallas_call(
         functools.partial(_kernel_gated, group=group, q_tile=q_tile,
-                          use_tile_bound=use_tile_bound),
+                          use_tile_bound=use_tile_bound,
+                          n_chunks_pf=n_chunks_pf, n_groups_pf=n_groups_pf,
+                          n_cch_pf=n_cch_pf),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (boxes.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.SMEM
@@ -377,5 +423,5 @@ def nn_flash_gated(queries, scene_table, boxes, max_dist,
             pltpu.VMEM((q_tile, S_CHUNK), jnp.int32),
         ],
         interpret=interpret,
-    )(gate2, boxes, cents, scene_table, qtab)
+    )(gate2, fid, boxes, cents, scene_table, qtab)
     return idx[:nq, 0].reshape(q.shape[:-1]), dist[:nq, 0].reshape(q.shape[:-1])

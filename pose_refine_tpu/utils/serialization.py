@@ -16,7 +16,7 @@ import numpy as np
 
 from pose_refine_tpu.icp import RegistrationResult
 from pose_refine_tpu.scene.kdtree import KDTree
-from pose_refine_tpu.scene.nn import SceneNN
+from pose_refine_tpu.scene.nn import SceneNN, SceneNNStack
 from pose_refine_tpu.scene.projective import SceneProjective, SceneProjectiveStack
 from pose_refine_tpu.utils.fusion import PoseTracker
 
@@ -24,6 +24,7 @@ _KINDS = {
     "SceneProjective": SceneProjective,
     "SceneProjectiveStack": SceneProjectiveStack,
     "SceneNN": SceneNN,
+    "SceneNNStack": SceneNNStack,
     "KDTree": KDTree,
     "RegistrationResult": RegistrationResult,
     "PoseTracker": PoseTracker,

@@ -134,8 +134,12 @@ def test_refine_multiscene_validation(setup):
     single = _refiner(m, K).set_scene_depth(frames[0])
     with pytest.raises(ValueError, match="single scene"):
         single.refine(hyps, scene_ids=ids)
-    with pytest.raises(ValueError, match="projective"):
+    with pytest.raises(ValueError, match="nn_kdtree"):
+        prt.PoseRefiner(m, K=K, width=W, height=H, scene="nn_kdtree",
+                        use_pallas=False).set_scene_depths(frames)
+    with pytest.raises(ValueError, match="scene_cascade"):
         prt.PoseRefiner(m, K=K, width=W, height=H, scene="nn_bruteforce",
+                        scene_cascade=(8.0, 10), max_points=4096,
                         use_pallas=False).set_scene_depths(frames)
     with pytest.raises(ValueError, match="K, H, W"):
         ref.set_scene_depths(frames[0])
@@ -190,3 +194,121 @@ def test_refine_multiscene_sharded_parity(setup):
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r8), atol=1e-5)
     np.testing.assert_allclose(
         np.asarray(res1.fitness), np.asarray(res8.fitness), atol=1e-6)
+
+
+# ------------------------------------------------------------- NN stacks
+
+def _nn_refiner(m, K):
+    return prt.PoseRefiner(m, K=K, width=W, height=H, max_points=4096,
+                           use_pallas=False, window=64, stride=1,
+                           auto_roi=False, scene="nn_bruteforce")
+
+
+def test_nn_stack_query_matches_per_frame_scene(setup):
+    """SceneNNStack.query_at(sid) must equal the standalone per-frame
+    SceneNN query on BOTH backends: the CPU bruteforce slice and the gated
+    flash kernel's frame windowing (interpret mode). Same kd reorder ->
+    same chunk content -> identical in-gate NN, ties included."""
+    import jax.numpy as jnp
+
+    from pose_refine_tpu.scene.nn import SceneNN, SceneNNStack
+
+    m, K, truths, frames = setup
+    rng = np.random.default_rng(7)
+    src = jnp.asarray(rng.uniform(-0.1, 0.1, (300, 3)).astype(np.float32)
+                      + np.float32([0, 0, 0.3]))
+    for backend in ("bruteforce", "flash"):
+        stack = SceneNNStack.from_depths(frames, K, backend=backend)
+        assert stack.n_scenes == 3
+        assert stack.flash_table.shape[1] == 3 * stack.frame_rows
+        for i in range(3):
+            single = SceneNN.from_depth(frames[i], K, backend=backend)
+            d_s, n_s, v_s = single.query(src)
+            d_q, n_q, v_q = stack.query_at(jnp.int32(i))(src)
+            np.testing.assert_array_equal(np.asarray(v_s), np.asarray(v_q))
+            d_q, d_s = np.asarray(d_q), np.asarray(d_s)
+            v = np.asarray(v_s)
+            np.testing.assert_array_equal(d_s[v], d_q[v])
+            np.testing.assert_array_equal(
+                np.asarray(n_s)[v], np.asarray(n_q)[v])
+
+
+def test_refine_nn_multiscene_matches_per_frame(setup):
+    """ONE stacked NN dispatch == K per-frame NN refinements (the gated
+    kernel windows its scan to each pose's frame region)."""
+    m, K, truths, frames = setup
+    hyps, ids = _perturbed(truths, np.random.default_rng(8))
+
+    ref = _nn_refiner(m, K).set_scene_depths(frames)
+    from pose_refine_tpu.scene.nn import SceneNNStack
+
+    assert isinstance(ref.scene, SceneNNStack)
+    refined, res = ref.refine(hyps, scene_ids=ids)
+    refined = np.asarray(refined)
+
+    single = _nn_refiner(m, K)
+    for k in range(3):
+        single.set_scene_depth(frames[k])
+        rows = ids == k
+        r_k, res_k = single.refine(hyps[rows])
+        np.testing.assert_allclose(refined[rows], np.asarray(r_k), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(res.fitness)[rows], np.asarray(res_k.fitness),
+            atol=1e-6)
+        for r in np.asarray(r_k):
+            cos = (np.trace(r[:3, :3].T @ truths[k][:3, :3]) - 1) / 2
+            assert np.degrees(np.arccos(np.clip(cos, -1, 1))) < 3.0
+            assert np.abs(r[:3, 3] - truths[k][:3, 3]).max() < 3.0
+
+
+def test_refine_nn_multiscene_composition(setup):
+    """NN scene_ids compose with with_covariance, schedule= and
+    refine_async, like the projective stack."""
+    m, K, truths, frames = setup
+    hyps, ids = _perturbed(truths, np.random.default_rng(9), per=1)
+    ref = _nn_refiner(m, K).set_scene_depths(frames)
+    refined, res, unc = ref.refine(hyps, scene_ids=ids, with_covariance=True)
+    assert np.asarray(unc.covariance).shape == (3, 6, 6)
+    assert np.isfinite(np.asarray(unc.covariance)).all()
+    r2, res2 = ref.refine(hyps, scene_ids=ids,
+                          schedule=[(0.25, 10), (0.05, 20)])
+    assert float(np.min(np.asarray(res2.fitness))) > 0.5
+    pending = ref.refine_async(hyps, scene_ids=ids)
+    r3, res3 = pending.wait()
+    np.testing.assert_allclose(np.asarray(r3), np.asarray(refined), atol=1e-6)
+
+
+def test_refine_nn_multiscene_sharded_parity(setup):
+    """The stacked NN program sharded over an 8-device mesh must match the
+    single-device result (tables replicate, poses + scene_ids shard)."""
+    m, K, truths, frames = setup
+    hyps, ids = _perturbed(truths, np.random.default_rng(10))  # 6 poses
+    ref = _nn_refiner(m, K).set_scene_depths(frames)
+    r1, res1 = ref.refine(hyps, scene_ids=ids)
+    ref8 = prt.PoseRefiner(m, K=K, width=W, height=H, max_points=4096,
+                           use_pallas=False, window=64, stride=1,
+                           auto_roi=False, scene="nn_bruteforce", devices=8)
+    ref8.set_scene_depths(frames)
+    r8, res8 = ref8.refine(hyps, scene_ids=ids)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r8), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(res1.fitness), np.asarray(res8.fitness), atol=1e-6)
+
+
+def test_nn_stack_serialization_roundtrip(setup, tmp_path):
+    """SceneNNStack round-trips through the one-file .npz checkpoint."""
+    from pose_refine_tpu.scene.nn import SceneNNStack
+    from pose_refine_tpu.utils import serialization
+
+    m, K, truths, frames = setup
+    stack = SceneNNStack.from_depths(frames, K)
+    p = str(tmp_path / "stack.npz")
+    serialization.save(p, stack)
+    back = serialization.load(p)
+    assert isinstance(back, SceneNNStack)
+    assert back.n_scenes == stack.n_scenes
+    assert back.frame_rows == stack.frame_rows
+    np.testing.assert_array_equal(np.asarray(back.table),
+                                  np.asarray(stack.table))
+    np.testing.assert_array_equal(np.asarray(back.flash_boxes),
+                                  np.asarray(stack.flash_boxes))
