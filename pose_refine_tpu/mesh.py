@@ -593,7 +593,9 @@ def make_icosphere(radius: float = 50.0, subdivisions: int = 3) -> Model:
     return Model.from_vertices_faces(verts * radius, faces)
 
 
-def simplify_vertex_clustering(model: Model, cell_size: float) -> Model:
+def simplify_vertex_clustering(
+    model: Model, cell_size: float, split_normals: bool = True
+) -> Model:
     """Decimate a mesh by vertex clustering: snap vertices to a uniform grid
     of ``cell_size`` (model units), merge coincident vertices (cluster
     centroid), drop collapsed faces.
@@ -603,6 +605,17 @@ def simplify_vertex_clustering(model: Model, cell_size: float) -> Model:
     directly with triangle count. Depth error introduced is bounded by
     ~cell_size/2 per vertex - pick well below the ICP inlier gate
     (e.g. 2 mm cells against the default 0.1 m gate).
+
+    ``split_normals`` additionally keys clusters by the vertex normal's
+    octant, so vertices of differently-oriented surfaces never merge even
+    when they share a grid cell. Plain clustering is fine on dense organic
+    meshes (errors average out over thousands of points) but warps thin or
+    CAD-like shapes: on a plate of thickness comparable to ``cell_size``, a
+    cell straddling an edge merges face and side vertices, rounding the
+    silhouette and tilting the flat faces the ICP then aligns to
+    (tests/test_second_mesh.py pins the failure). With the split, a flat
+    face's clusters stay within the face, so their centroids stay IN the
+    face plane - planar geometry is preserved exactly.
     """
     v = model.vertices.astype(np.float64)
     lo = v.min(axis=0)
@@ -613,6 +626,20 @@ def simplify_vertex_clustering(model: Model, cell_size: float) -> Model:
             f"cell_size {cell_size} is too small for this extent/unit"
         )
     key = (cell[:, 0] << 42) | (cell[:, 1] << 21) | cell[:, 2]
+    if split_normals:
+        # area-weighted vertex normals (cross products sum over incident
+        # faces), bucketed by sign octant: 3 bits on top of the cell key
+        f = model.faces
+        fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+        vn = np.zeros_like(v)
+        for corner in range(3):
+            np.add.at(vn, f[:, corner], fn)
+        octant = (
+            (vn[:, 0] >= 0).astype(np.int64)
+            | ((vn[:, 1] >= 0).astype(np.int64) << 1)
+            | ((vn[:, 2] >= 0).astype(np.int64) << 2)
+        )
+        key = (key << 3) | octant
     uniq, inverse = np.unique(key, return_inverse=True)
 
     # cluster centroid per unique cell
@@ -664,6 +691,69 @@ def make_bumpy_sphere(radius: float = 40.0, subdivisions: int = 3, bump: float =
     )
     verts = v * (radius * mod)[:, None]
     return Model.from_vertices_faces(verts, base.faces)
+
+
+def _subdivide_faces(verts: np.ndarray, faces: np.ndarray, n: int):
+    """Midpoint (4-to-1) triangle subdivision with shared-edge vertices, no
+    smoothing - geometry is unchanged, only tessellation density grows."""
+    for _ in range(n):
+        edge_mid = {}
+        verts_list = list(verts)
+        new_faces = []
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edge_mid:
+                edge_mid[key] = len(verts_list)
+                verts_list.append(0.5 * (verts_list[a] + verts_list[b]))
+            return edge_mid[key]
+
+        for f3 in faces:
+            a, b, c = int(f3[0]), int(f3[1]), int(f3[2])
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        verts = np.array(verts_list)
+        faces = np.array(new_faces, dtype=np.int64)
+    return verts, faces
+
+
+def make_bracket(subdivisions: int = 2) -> Model:
+    """Elongated thin L-bracket (units: mm) - the second real-shape fixture.
+
+    obj_06 and the spheres are all compact (aspect ~1); every auto-tuning
+    heuristic (window = extent * 1.15, max_points * 1.3, ROI, decimation,
+    tile choice) was tuned on them. This object is the stress case those
+    heuristics never saw: 120 mm long, 6 mm thin (20:1), with an L-flange at
+    one end and an off-axis tab so the pose is fully observable (no
+    rotational symmetry). Mirrors the acceptance-recipe role of
+    /root/reference/test.cpp:24-44 on a second, adversarial shape.
+    """
+    boxes = [
+        ((0.0, 0.0, 0.0), (120.0, 30.0, 6.0)),    # main thin plate
+        ((0.0, 0.0, 6.0), (8.0, 30.0, 46.0)),     # vertical flange (one end)
+        ((90.0, 30.0, 0.0), (110.0, 42.0, 6.0)),  # asymmetric side tab
+    ]
+    verts_all, faces_all = [], []
+    base = 0
+    for lo, hi in boxes:
+        lo = np.asarray(lo, np.float64)
+        hi = np.asarray(hi, np.float64)
+        corners = np.array([[lo[0], lo[1], lo[2]], [hi[0], lo[1], lo[2]],
+                            [hi[0], hi[1], lo[2]], [lo[0], hi[1], lo[2]],
+                            [lo[0], lo[1], hi[2]], [hi[0], lo[1], hi[2]],
+                            [hi[0], hi[1], hi[2]], [lo[0], hi[1], hi[2]]])
+        quads = [(0, 3, 2, 1), (4, 5, 6, 7), (0, 1, 5, 4),
+                 (2, 3, 7, 6), (1, 2, 6, 5), (3, 0, 4, 7)]
+        for a, b, c, d in quads:
+            faces_all += [[base + a, base + b, base + c],
+                          [base + a, base + c, base + d]]
+        verts_all.append(corners)
+        base += 8
+    verts = np.concatenate(verts_all)
+    faces = np.array(faces_all, dtype=np.int64)
+    verts, faces = _subdivide_faces(verts, faces, subdivisions)
+    verts -= 0.5 * (verts.min(axis=0) + verts.max(axis=0))  # center AABB
+    return Model.from_vertices_faces(verts, faces)
 
 
 def load_benchmark_model(verbose: bool = False) -> Model:

@@ -156,11 +156,16 @@ UB_BALL = 32   # scene points per upper-bound ball (pass 1). Finer balls
                # (radius ~4 mm vs ~10 mm at 128) tighten the per-tile NN
                # upper bound toward the oracle: conv-stage prune 46.5% ->
                # near-oracle (75.8%) territory for +5 lane-chunks of pass-1.
+GSUB_TILE = None  # sub-tile pruning band (None = whole q_tile). Round-5
+                  # candidate default 128: small-band prune rates at
+                  # big-tile fixed costs; adopt only after a hardware A/B
+                  # (scripts/nn_tile_bound_study.py sweeps it).
 
 
 def _kernel_gated(gate_ref, fid_ref, boxes_ref, cents_ref, scene_ref, q_ref,
                   idx_ref, dist_ref, best_ref, bchunk_ref, *, group: int,
-                  q_tile: int = GQ_TILE, use_tile_bound: bool = True,
+                  q_tile: int = GQ_TILE, sub_tile: int | None = None,
+                  use_tile_bound: bool = True,
                   n_chunks_pf: int = 0, n_groups_pf: int = 0,
                   n_cch_pf: int = 0):
     """Flash-NN with bbox pruning against the association gate AND a
@@ -199,20 +204,31 @@ def _kernel_gated(gate_ref, fid_ref, boxes_ref, cents_ref, scene_ref, q_ref,
     is one frame's, not the stack's). The single-frame case passes fid=0
     with per-frame sizes == totals, which reduces every offset to the
     original code path.
+
+    sub_tile (static, divides q_tile; None = q_tile) prunes at SUB-tile
+    granularity while keeping one grid step per q_tile queries: each
+    sub_tile-row band gets its own bbox + NN-bound radius and its own
+    pruned chunk scan over (sub_tile, S_CHUNK) blocks. Morton-ordered
+    query clouds make small bands spatially tight, so this reaches the
+    prune rate of a small query tile (44-58% at 128 vs 15-28% at 512,
+    scripts/nn_prune_rate.py) WITHOUT paying a small tile's per-grid-step
+    fixed costs (pass 1, output writes, grid overhead) - the round-4
+    wall-time loss of GQ_TILE=128. Exactness argument is unchanged: a
+    chunk skipped for band s has bbox distance > max_{q in s}
+    min(ub(q), gate) >= the band's accepted-NN distances, ties included.
     """
     qx = q_ref[:, 0:1]
     qy = q_ref[:, 1:2]
     qz = q_ref[:, 2:3]
-    # tile bbox (padded query rows repeat a real query, so the bbox is tight)
-    qlo_x, qhi_x = jnp.min(q_ref[:, 0]), jnp.max(q_ref[:, 0])
-    qlo_y, qhi_y = jnp.min(q_ref[:, 1]), jnp.max(q_ref[:, 1])
-    qlo_z, qhi_z = jnp.min(q_ref[:, 2]), jnp.max(q_ref[:, 2])
     gate2 = gate_ref[0, 0]
     fid = fid_ref[0, 0]
+    st = sub_tile or q_tile
+    n_sub = q_tile // st
 
-    # ---- pass 1: per-tile NN-distance upper bound from chunk balls ----
+    # ---- pass 1: per-query NN-distance upper bound from chunk balls ----
     # (use_tile_bound=False falls back to gate-only pruning - the A/B
-    # baseline for scripts/nn_tile_bound_study.py)
+    # baseline for scripts/nn_tile_bound_study.py). Runs ONCE for the whole
+    # q_tile; sub-tiles reduce their own rows below.
     if use_tile_bound:
 
         def ub_body(cc, ub):
@@ -231,48 +247,60 @@ def _kernel_gated(gate_ref, fid_ref, boxes_ref, cents_ref, scene_ref, q_ref,
             fid * n_cch_pf, (fid + 1) * n_cch_pf, ub_body,
             jnp.full((q_tile, S_CHUNK), BIG, jnp.float32)
         )
-        gate = jnp.sqrt(gate2)
-        # per-query bound clamped to the gate BEFORE the tile max: one
+        # per-query bound clamped to the gate BEFORE the band max: one
         # query with no nearby scene (it is invalid under the gate
-        # regardless) must not widen the whole tile's radius past the gate
-        tile_r = jnp.max(jnp.minimum(jnp.min(ub, axis=1), gate))
-        tile_r2 = tile_r * tile_r
-    else:
-        tile_r2 = gate2
+        # regardless) must not widen the whole band's radius past the gate
+        ub_q = jnp.minimum(jnp.min(ub, axis=1, keepdims=True), jnp.sqrt(gate2))
 
     best_ref[...] = jnp.full((q_tile, S_CHUNK), BIG, jnp.float32)
     bchunk_ref[...] = jnp.zeros((q_tile, S_CHUNK), jnp.int32)
 
-    def body(g, _):
-        dx = jnp.maximum(jnp.maximum(boxes_ref[g, 0] - qhi_x, qlo_x - boxes_ref[g, 4]), 0.0)
-        dy = jnp.maximum(jnp.maximum(boxes_ref[g, 1] - qhi_y, qlo_y - boxes_ref[g, 5]), 0.0)
-        dz = jnp.maximum(jnp.maximum(boxes_ref[g, 2] - qhi_z, qlo_z - boxes_ref[g, 6]), 0.0)
-        reachable = dx * dx + dy * dy + dz * dz <= tile_r2
+    for s in range(n_sub):  # static unroll over sub-tile bands
+        rs = slice(s * st, (s + 1) * st)
+        bqx, bqy, bqz = qx[rs], qy[rs], qz[rs]
+        # band bbox (padded query rows repeat a real query, so it is tight)
+        qlo_x, qhi_x = jnp.min(q_ref[rs, 0]), jnp.max(q_ref[rs, 0])
+        qlo_y, qhi_y = jnp.min(q_ref[rs, 1]), jnp.max(q_ref[rs, 1])
+        qlo_z, qhi_z = jnp.min(q_ref[rs, 2]), jnp.max(q_ref[rs, 2])
+        if use_tile_bound:
+            tile_r = jnp.max(ub_q[rs])
+            tile_r2 = tile_r * tile_r
+        else:
+            tile_r2 = gate2
 
-        @pl.when(reachable)
-        def _():
-            def chunk_body(c, _c):
-                off = pl.multiple_of(c * S_CHUNK, S_CHUNK)
-                sx = scene_ref[0:1, pl.ds(off, S_CHUNK)]
-                sy = scene_ref[1:2, pl.ds(off, S_CHUNK)]
-                sz = scene_ref[2:3, pl.ds(off, S_CHUNK)]
-                ss = scene_ref[3:4, pl.ds(off, S_CHUNK)]
-                score = ss - 2.0 * (qx * sx + qy * sy + qz * sz)
-                better = score < best_ref[...]  # strict: earlier chunk keeps ties
-                best_ref[...] = jnp.where(better, score, best_ref[...])
-                bchunk_ref[...] = jnp.where(better, c, bchunk_ref[...])
-                return 0
+        def body(g, _, bqx=bqx, bqy=bqy, bqz=bqz, rs=rs, tile_r2=tile_r2,
+                 qlo_x=qlo_x, qhi_x=qhi_x, qlo_y=qlo_y, qhi_y=qhi_y,
+                 qlo_z=qlo_z, qhi_z=qhi_z):
+            dx = jnp.maximum(jnp.maximum(boxes_ref[g, 0] - qhi_x, qlo_x - boxes_ref[g, 4]), 0.0)
+            dy = jnp.maximum(jnp.maximum(boxes_ref[g, 1] - qhi_y, qlo_y - boxes_ref[g, 5]), 0.0)
+            dz = jnp.maximum(jnp.maximum(boxes_ref[g, 2] - qhi_z, qlo_z - boxes_ref[g, 6]), 0.0)
+            reachable = dx * dx + dy * dy + dz * dz <= tile_r2
 
-            # box row g covers chunks [gl*group, gl*group+group) of frame
-            # fid, whose chunk region starts at fid*n_chunks_pf
-            gl = g - fid * n_groups_pf
-            c0 = fid * n_chunks_pf + gl * group
-            c1 = fid * n_chunks_pf + jnp.minimum(gl * group + group, n_chunks_pf)
-            jax.lax.fori_loop(c0, c1, chunk_body, 0)
+            @pl.when(reachable)
+            def _():
+                def chunk_body(c, _c):
+                    off = pl.multiple_of(c * S_CHUNK, S_CHUNK)
+                    sx = scene_ref[0:1, pl.ds(off, S_CHUNK)]
+                    sy = scene_ref[1:2, pl.ds(off, S_CHUNK)]
+                    sz = scene_ref[2:3, pl.ds(off, S_CHUNK)]
+                    ss = scene_ref[3:4, pl.ds(off, S_CHUNK)]
+                    score = ss - 2.0 * (bqx * sx + bqy * sy + bqz * sz)
+                    cur = best_ref[rs, :]
+                    better = score < cur  # strict: earlier chunk keeps ties
+                    best_ref[rs, :] = jnp.where(better, score, cur)
+                    bchunk_ref[rs, :] = jnp.where(better, c, bchunk_ref[rs, :])
+                    return 0
 
-        return 0
+                # box row g covers chunks [gl*group, gl*group+group) of frame
+                # fid, whose chunk region starts at fid*n_chunks_pf
+                gl = g - fid * n_groups_pf
+                c0 = fid * n_chunks_pf + gl * group
+                c1 = fid * n_chunks_pf + jnp.minimum(gl * group + group, n_chunks_pf)
+                jax.lax.fori_loop(c0, c1, chunk_body, 0)
 
-    jax.lax.fori_loop(fid * n_groups_pf, (fid + 1) * n_groups_pf, body, 0)
+            return 0
+
+        jax.lax.fori_loop(fid * n_groups_pf, (fid + 1) * n_groups_pf, body, 0)
 
     best = best_ref[...]
     bchunk = bchunk_ref[...]
@@ -287,11 +315,12 @@ def _kernel_gated(gate_ref, fid_ref, boxes_ref, cents_ref, scene_ref, q_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "interpret", "use_tile_bound", "q_tile", "ub_ball", "_max_box_rows",
-    "frames"))
+    "interpret", "use_tile_bound", "q_tile", "sub_tile", "ub_ball",
+    "_max_box_rows", "frames"))
 def nn_flash_gated(queries, scene_table, boxes, max_dist,
                    interpret: bool = False, use_tile_bound: bool = True,
-                   q_tile: int = GQ_TILE, ub_ball: int = UB_BALL,
+                   q_tile: int = GQ_TILE, sub_tile: int | None = GSUB_TILE,
+                   ub_ball: int = UB_BALL,
                    _max_box_rows: int = 1024,
                    frame_id=None, frames: int = 1):
     """Gate-exact NN: identical to nn_flash_packed for every query whose true
@@ -300,7 +329,8 @@ def nn_flash_gated(queries, scene_table, boxes, max_dist,
 
     queries (..., 3), scene_table from pack_scene, boxes from chunk_boxes,
     max_dist the association gate in meters (scalar, traced OK). q_tile
-    (queries per grid step) and ub_ball (scene points per pass-1 bounding
+    (queries per grid step), sub_tile (pruning band within a grid step;
+    None = whole tile) and ub_ball (scene points per pass-1 bounding
     ball; must divide S_CHUNK) trade pruning tightness against per-tile
     fixed costs - defaults picked by scripts/nn_tile_bound_study.py.
 
@@ -315,6 +345,11 @@ def nn_flash_gated(queries, scene_table, boxes, max_dist,
     """
     if S_CHUNK % ub_ball:
         raise ValueError(f"ub_ball must divide S_CHUNK={S_CHUNK}, got {ub_ball}")
+    if sub_tile is not None and (q_tile % sub_tile or sub_tile % 8):
+        raise ValueError(
+            f"sub_tile must divide q_tile={q_tile} and be a multiple of 8 "
+            f"(f32 sublane), got {sub_tile}"
+        )
     if scene_table.shape[1] % (frames * S_CHUNK):
         raise ValueError(
             f"stacked scene table width {scene_table.shape[1]} is not "
@@ -392,7 +427,7 @@ def nn_flash_gated(queries, scene_table, boxes, max_dist,
     grid = (qtab.shape[0] // q_tile,)
     idx, dist = pl.pallas_call(
         functools.partial(_kernel_gated, group=group, q_tile=q_tile,
-                          use_tile_bound=use_tile_bound,
+                          sub_tile=sub_tile, use_tile_bound=use_tile_bound,
                           n_chunks_pf=n_chunks_pf, n_groups_pf=n_groups_pf,
                           n_cch_pf=n_cch_pf),
         grid=grid,

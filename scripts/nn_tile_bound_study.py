@@ -118,6 +118,17 @@ def main():
     for qt, ub in tile_sweep:
         arms.append((f"bound T{qt}/b{ub}",
                      dict(use_tile_bound=True, q_tile=qt, ub_ball=ub)))
+    # sub-tile pruning bands (round 5): small-band prune rates (44-58% at
+    # 128 per scripts/nn_prune_rate.py) at big-tile per-grid-step fixed
+    # costs - the structure that should beat both T512 (weak pruning) and
+    # T128 (4x grid steps) from the round-4 wall-time study
+    sub_sweep = ((512, 128, 32),) if SMOKE else (
+        (512, 256, 32), (512, 128, 32), (512, 64, 32),
+        (512, 128, 16), (1024, 128, 32))
+    for qt, st, ub in sub_sweep:
+        arms.append((f"sub T{qt}/s{st}/b{ub}",
+                     dict(use_tile_bound=True, q_tile=qt, sub_tile=st,
+                          ub_ball=ub)))
     outs = [(tag, run_kernel(tag, **kw)) for tag, kw in arms]
     print("  compiling plain reference kernel...", flush=True)
     i_ref, d_ref = nn_flash_packed(Q, table, interpret=INTERP)

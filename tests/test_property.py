@@ -186,8 +186,58 @@ def test_nn_flash_gated_tile_and_ball_sizes_exact():
             np.testing.assert_array_equal(i0[inside], i1[inside])
             np.testing.assert_array_equal(d0[inside], d1[inside])
             assert (d1[~inside] >= gate * gate).all()
+    # sub-tile pruning bands (incl. band == tile and the 8-row minimum)
+    for sub_tile in (8, 64, 128, 512):
+        i1, d1 = nn_flash_gated(Q, table, boxes, gate, interpret=True,
+                                sub_tile=sub_tile)
+        i1, d1 = np.asarray(i1), np.asarray(d1)
+        np.testing.assert_array_equal(i0[inside], i1[inside])
+        np.testing.assert_array_equal(d0[inside], d1[inside])
+        assert (d1[~inside] >= gate * gate).all()
     with pytest.raises(ValueError, match="ub_ball"):
         nn_flash_gated(Q, table, boxes, gate, interpret=True, ub_ball=48)
+    with pytest.raises(ValueError, match="sub_tile"):
+        nn_flash_gated(Q, table, boxes, gate, interpret=True, sub_tile=96)
+    with pytest.raises(ValueError, match="sub_tile"):
+        nn_flash_gated(Q, table, boxes, gate, interpret=True, sub_tile=4)
+
+
+def test_nn_flash_gated_sub_tile_stacked_frames_exact():
+    """Sub-tile pruning bands must compose with the stacked-frame windowing
+    (SceneNNStack): for each frame id, the banded kernel on the stacked
+    table must equal plain flash-NN on that frame's own table, in-gate,
+    ties included."""
+    from pose_refine_tpu.scene.nn_pallas import (
+        S_CHUNK, chunk_boxes, nn_flash_gated, nn_flash_packed, pack_scene,
+    )
+
+    rng = np.random.default_rng(61)
+    rows = 1024  # equal per-frame width (S_CHUNK multiple)
+    frames = []
+    for k in range(2):
+        S = (rng.normal(size=(rows, 3)) * 0.08 + k * 0.3).astype(np.float32)
+        S = S[np.lexsort((S[:, 0], S[:, 1], S[:, 2]))]
+        frames.append(S)
+    tables = [pack_scene(S) for S in frames]
+    stacked = np.concatenate([np.asarray(t) for t in tables], axis=1)
+    boxes = np.concatenate([np.asarray(chunk_boxes(t)) for t in tables])
+    gate = 0.05
+    for k, S in enumerate(frames):
+        Q = (S[rng.integers(0, rows, 600)]
+             + rng.normal(0, 0.01, (600, 3))).astype(np.float32)
+        i0, d0 = nn_flash_packed(Q, tables[k], interpret=True)
+        i0, d0 = np.asarray(i0), np.asarray(d0)
+        inside = d0 < gate * gate
+        assert inside.any()
+        for sub_tile in (None, 64, 128):
+            i1, d1 = nn_flash_gated(
+                Q, stacked, boxes, gate, interpret=True, sub_tile=sub_tile,
+                frame_id=k, frames=2)
+            i1, d1 = np.asarray(i1), np.asarray(d1)
+            # stacked indices are frame-local + k*rows
+            np.testing.assert_array_equal(i0[inside] + k * rows, i1[inside])
+            np.testing.assert_array_equal(d0[inside], d1[inside])
+            assert (d1[~inside] >= gate * gate).all()
 
 
 def test_nn_flash_gated_group_merge_path_exact():
