@@ -110,10 +110,11 @@ def _normal_equations_from_assoc(cloud, valid, dst, nrm, q_valid,
                                  robust_delta: float = 0.0):
     """Reduction half of _normal_equations, from a given association.
 
-    Split out so correspondence-reuse iterations (reassociate_every > 1)
-    can rebuild the normal equations from CACHED (dst, nrm, valid) as the
-    cloud moves - the association gather is the expensive part of an ICP
-    iteration (row-count-bound, PERF_NOTES); this half is matmul-cheap."""
+    Split out so passes that already hold an association - the in-program
+    PoseUncertainty information matrix (pose_information) - can rebuild
+    the normal equations without re-querying the scene; this half is
+    matmul-cheap (the association gather is the row-count-bound part of
+    an iteration, PERF_NOTES)."""
     v = (q_valid & valid).astype(cloud.dtype)
     diff = dst - cloud
     b = jnp.sum(diff * nrm, axis=-1)
@@ -234,7 +235,6 @@ def icp_point_to_plane(
     reduction: str = "matmul",
     chunk_iters: int = 8,
     robust_delta: float = 0.0,
-    reassociate_every: int = 1,
     coarse_iters: int = 0,
     coarse_stride: int = 2,
 ):
@@ -259,21 +259,6 @@ def icp_point_to_plane(
                  program segments (each while iteration costs a host
                  round-trip on tunneled runtimes). Set >= max_iteration + 1
                  for one pure fori program.
-      reassociate_every: correspondence reuse (beyond parity; 1 = the
-                 reference's re-associate-every-iteration semantics). k > 1
-                 queries the scene every k-th iteration and rebuilds the
-                 normal equations from the CACHED association as the cloud
-                 moves - the association gather is the row-count-bound cost
-                 of an iteration (PERF_NOTES), the reduction is matmul-cheap.
-                 Choose k dividing max_iteration so the final scoring pass
-                 re-associates fresh. Requires reduction='matmul' and a
-                 fused loop (chunk_iters >= max_iteration + 1).
-                 EXPERIMENTAL - CPU-validated; on the current axon TPU
-                 toolchain the k > 1 nested-loop program HUNG the remote
-                 XLA compile (wedging the chip for >1 h; twice), so its
-                 TPU quality study (scripts/reassoc_study.py) is blocked
-                 and k > 1 must not be adopted for TPU serving until the
-                 toolchain moves.
       coarse_iters: > 0 enables a coarse-to-fine point schedule (beyond
                  parity): the first `coarse_iters` iterations run pure
                  Gauss-Newton updates on a 1-in-`coarse_stride` strided
@@ -288,13 +273,19 @@ def icp_point_to_plane(
                  fitness/rmse always come from full-cloud iterations.
                  Total iteration count is unchanged: coarse_iters coarse +
                  (max_iteration - coarse_iters) fine + the scoring pass.
-                 Requires a fused loop and reassociate_every == 1.
+                 Requires a fused loop.
 
     Returns:
       (RegistrationResult, transformed cloud (P, 3)).
+
+    Note: a correspondence-reuse knob (reassociate_every > 1, beyond
+    parity - the reference re-associates every iteration, icp.cu:167-172)
+    shipped rounds 3-4 CPU-only: its nested-loop program form hung the
+    remote XLA compile on the axon TPU toolchain (>1 h, wedging the chip,
+    twice), and a knob that raises on the production backend is a
+    liability, so it was cut in round 5 (git history has the flat-unroll
+    restructuring if the toolchain ever moves).
     """
-    if reassociate_every > 1 and reduction != "matmul":
-        raise ValueError("reassociate_every > 1 requires reduction='matmul'")
     base_fn = (
         _normal_equations_packed if reduction == "packed" else _normal_equations
     )
@@ -302,8 +293,7 @@ def icp_point_to_plane(
     return _icp_run(
         cloud, valid, query_fn, criteria, n_points,
         functools.partial(base_fn, robust_delta=rd),
-        functools.partial(_normal_equations_from_assoc, robust_delta=rd),
-        chunk_iters, reassociate_every, coarse_iters, coarse_stride,
+        chunk_iters, coarse_iters, coarse_stride,
     )
 
 
@@ -315,7 +305,6 @@ def icp_point_to_point(
     n_points=None,
     chunk_iters: int = 8,
     robust_delta: float = 0.0,
-    reassociate_every: int = 1,
     coarse_iters: int = 0,
     coarse_stride: int = 2,
 ):
@@ -347,8 +336,7 @@ def icp_point_to_point(
     return _icp_run(
         cloud, valid, query_fn, criteria, n_points,
         functools.partial(_p2p_equations, robust_delta=rd),
-        functools.partial(_p2p_equations_from_assoc, robust_delta=rd),
-        chunk_iters, reassociate_every, coarse_iters, coarse_stride,
+        chunk_iters, coarse_iters, coarse_stride,
     )
 
 
@@ -359,19 +347,15 @@ def _icp_run(
     criteria: ICPConvergenceCriteria,
     n_points,
     reduce_fn: Callable,
-    from_assoc_fn: Callable,
     chunk_iters: int,
-    reassociate_every: int,
     coarse_iters: int,
     coarse_stride: int,
 ):
     """Shared ICP outer loop (see icp_point_to_plane for the semantics).
 
-    reduce_fn(cloud, valid, query_fn) and from_assoc_fn(cloud, valid, dst,
-    nrm, q_valid) produce (AtA, Atb, count, mse_sum) for the chosen
-    estimation; everything else (the done-latched fori, the chunked while,
-    the coarse-to-fine schedule, correspondence reuse) is
-    estimation-agnostic.
+    reduce_fn(cloud, valid, query_fn) produces (AtA, Atb, count, mse_sum)
+    for the chosen estimation; everything else (the done-latched fori, the
+    chunked while, the coarse-to-fine schedule) is estimation-agnostic.
     """
     cloud = jnp.asarray(cloud, jnp.float32)
     valid = jnp.asarray(valid, bool)
@@ -438,13 +422,8 @@ def _icp_run(
     )
     total = max_iter + 1
     chunk = max(1, min(int(chunk_iters), total))
-    k = int(reassociate_every)
     c = int(coarse_iters)
     if c > 0:
-        if k > 1:
-            raise ValueError(
-                "coarse_iters and reassociate_every > 1 cannot combine"
-            )
         if chunk < total:
             raise ValueError(
                 "coarse_iters > 0 requires a fused loop "
@@ -489,60 +468,7 @@ def _icp_run(
             RegistrationResult(final.T, final.fitness, final.rmse, n_total),
             final.cloud,
         )
-    if k > 1:
-        if chunk < total:
-            raise ValueError(
-                "reassociate_every > 1 requires a fused loop "
-                "(chunk_iters >= max_iteration + 1)"
-            )
-        # round 3 shipped k > 1 with only a docstring warning while the
-        # then-nested-loop program hung the remote XLA compile for >1 h
-        # (twice), wedging the chip. The loop is now restructured (static
-        # outer unroll, below) but stays GUARDED on non-CPU backends until
-        # a hardware compile verifies it; PRT_ALLOW_REASSOC_TPU=1 opts in.
-        import os
-
-        if (jax.default_backend() != "cpu"
-                and os.environ.get("PRT_ALLOW_REASSOC_TPU") != "1"):
-            raise RuntimeError(
-                "reassociate_every > 1 is not yet hardware-verified on "
-                f"backend {jax.default_backend()!r}: the round-3 nested-"
-                "loop form hung the remote XLA compile (>1 h, wedging the "
-                "chip). The loop has been restructured; set "
-                "PRT_ALLOW_REASSOC_TPU=1 to try it on this backend."
-            )
-        if max_iter % k != 0:
-            # the scoring-only pass at it == max_iteration must start an
-            # outer block so its fitness/rmse come from a FRESH association
-            # (reference semantics score the current correspondences,
-            # icp.cpp:137) - a stale score would silently diverge
-            raise ValueError(
-                f"reassociate_every={k} must divide max_iteration="
-                f"{max_iter} so the final scoring pass re-associates fresh"
-            )
-
-        # outer block: ONE association gather; inner steps rebuild the
-        # normal equations from the cached correspondences at the moved
-        # cloud (overrun past `total` in the last block is frozen by the
-        # done latch, like the fused path). The outer blocks are STATICALLY
-        # UNROLLED (a Python loop, ~total/k program segments in one fused
-        # program) rather than an outer fori: the nested
-        # fori(outer)->fori(inner) program hung the remote XLA compile on
-        # tunneled TPU toolchains (round 3, >1 h twice); a flat sequence of
-        # [gather; fori(k)] blocks has no loop nesting to trip on.
-        def outer_block(ot: int, s: _State) -> _State:
-            dst, nrm, q_valid = query_fn(s.cloud)
-
-            def inner(j, st: _State) -> _State:
-                ne = from_assoc_fn(st.cloud, valid, dst, nrm, q_valid)
-                return step(ot * k + j, st, *ne)
-
-            return jax.lax.fori_loop(0, k, inner, s)
-
-        final = init
-        for ot in range(-(-total // k)):
-            final = outer_block(ot, final)
-    elif chunk >= total:
+    if chunk >= total:
         final = jax.lax.fori_loop(0, total, body, init)
     else:
         # done latches inside body, so overrunning past `total` inside the

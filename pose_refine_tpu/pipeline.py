@@ -47,7 +47,7 @@ def _scene_with_gate(scene, max_dist: float):
     static_argnames=(
         "width", "height", "max_points", "criteria", "use_pallas",
         "lift", "window", "stride", "roi", "chunk_iters", "robust_delta",
-        "reassociate_every", "coarse_iters", "coarse_stride", "estimation",
+        "coarse_iters", "coarse_stride", "estimation",
         "with_information",
     ),
 )
@@ -70,7 +70,6 @@ def refine_poses_jit(
     roi=(0, 0, 0, 0),
     chunk_iters: int = 8,
     robust_delta: float = 0.0,
-    reassociate_every: int = 1,
     coarse_iters: int = 0,
     coarse_stride: int = 2,
     estimation: str = "point_to_plane",
@@ -177,7 +176,7 @@ def refine_poses_jit(
         q = scene.query if sid is None else scene.query_at(sid)
         return icp_fn(
             cloud, valid, q, criteria, chunk_iters=chunk_iters,
-            robust_delta=robust_delta, reassociate_every=reassociate_every,
+            robust_delta=robust_delta,
             coarse_iters=coarse_iters, coarse_stride=coarse_stride,
         )
 
@@ -307,7 +306,6 @@ class PoseRefiner:
         scene_pool="auto",
         scene_cascade=None,
         robust_delta: float = 0.0,
-        reassociate_every: int = 1,
         coarse_iters: int = 0,
         coarse_stride: int = 2,
         estimation: str = "point_to_plane",
@@ -473,12 +471,6 @@ class PoseRefiner:
         # padding is dropped from the results - any batch size works.
         self._devices = devices
         self._mesh_cache = None  # resolved lazily; False = resolved to None
-        # reassociate_every: correspondence reuse (k > 1 re-queries the
-        # scene every k-th ICP iteration, rebuilding the normal equations
-        # from cached correspondences in between - the gather is the
-        # row-count-bound iteration cost). 1 = reference semantics;
-        # quality-gate any k > 1 (scripts/reassoc_study.py).
-        self.reassociate_every = int(reassociate_every)
         # coarse_iters/coarse_stride: coarse-to-fine ICP point schedule -
         # the first coarse_iters iterations run on a 1-in-coarse_stride
         # subsample of each cloud (iteration cost is gather-row-bound, so
@@ -633,7 +625,6 @@ class PoseRefiner:
             ("coarse_stride", self.coarse_stride),
             ("estimation", self.estimation),
             ("lift", self.lift),
-            ("reassociate_every", self.reassociate_every),
             ("robust_delta", self.robust_delta),
             ("roi", self.roi),
             ("stride", self.stride),
@@ -670,9 +661,8 @@ class PoseRefiner:
         reference's extra fitness-only iteration, icp.cpp:137) on
         device backends, chunks of 8 on CPU where dispatch is free and
         early exit pays."""
-        if self.reassociate_every > 1 or self.coarse_iters > 0:
-            # correspondence reuse / the coarse-to-fine point schedule
-            # need the fused loop
+        if self.coarse_iters > 0:
+            # the coarse-to-fine point schedule needs the fused loop
             return int(criteria.max_iteration) + 1
         if self.chunk_iters != "auto":
             return self.chunk_iters
@@ -1330,7 +1320,7 @@ class PoseRefiner:
     static_argnames=(
         "width", "height", "max_points", "criteria", "use_pallas",
         "lift", "window", "stride", "roi", "chunk_iters", "robust_delta",
-        "reassociate_every", "coarse_iters", "coarse_stride", "estimation",
+        "coarse_iters", "coarse_stride", "estimation",
         "with_information",
     ),
 )
@@ -1338,7 +1328,7 @@ def track_poses_jit(
     tris, init_poses, frame_depth, proj, K_render, K_full, max_dist,
     width, height, max_points, criteria, use_pallas,
     lift="window", window=256, stride=2, roi=(0, 0, 0, 0), chunk_iters=8,
-    robust_delta=0.0, reassociate_every=1, coarse_iters=0, coarse_stride=2,
+    robust_delta=0.0, coarse_iters=0, coarse_stride=2,
     estimation="point_to_plane", with_information=False,
 ):
     """Per-frame scene build FUSED with refinement: one program per frame.
@@ -1353,7 +1343,6 @@ def track_poses_jit(
         width=width, height=height, max_points=max_points, criteria=criteria,
         use_pallas=use_pallas, lift=lift, window=window, stride=stride,
         roi=roi, chunk_iters=chunk_iters, robust_delta=robust_delta,
-        reassociate_every=reassociate_every,
         coarse_iters=coarse_iters, coarse_stride=coarse_stride,
         estimation=estimation, with_information=with_information,
     )
@@ -1364,7 +1353,7 @@ def track_poses_jit(
     static_argnames=(
         "width", "height", "max_points", "criteria", "use_pallas",
         "lift", "window", "stride", "roi", "chunk_iters", "robust_delta",
-        "reassociate_every", "scene_stride", "scene_pool", "coarse_iters",
+        "scene_stride", "scene_pool", "coarse_iters",
         "coarse_stride", "estimation", "with_information",
     ),
 )
@@ -1372,7 +1361,7 @@ def track_poses_nn_jit(
     tris, init_poses, frame_depth, proj, K_render, K_full, max_dist, perm,
     width, height, max_points, criteria, use_pallas,
     lift="window", window=256, stride=2, roi=(0, 0, 0, 0), chunk_iters=8,
-    robust_delta=0.0, reassociate_every=1, scene_stride=1, scene_pool=1,
+    robust_delta=0.0, scene_stride=1, scene_pool=1,
     coarse_iters=0, coarse_stride=2, estimation="point_to_plane",
     with_information=False,
 ):
@@ -1393,7 +1382,6 @@ def track_poses_nn_jit(
         width=width, height=height, max_points=max_points, criteria=criteria,
         use_pallas=use_pallas, lift=lift, window=window, stride=stride,
         roi=roi, chunk_iters=chunk_iters, robust_delta=robust_delta,
-        reassociate_every=reassociate_every,
         coarse_iters=coarse_iters, coarse_stride=coarse_stride,
         estimation=estimation, with_information=with_information,
     )

@@ -385,74 +385,6 @@ def test_robust_delta_downweights_outliers():
     # robust must cut the rotation error at least in half
     assert errs[0.01] < 0.5 * errs[0.0], errs
 
-
-def test_reassociate_every_recovers_and_validates():
-    """Correspondence reuse (k=2): the gather runs every other iteration,
-    the normal equations rebuild from cached correspondences in between.
-    Still recovers the golden perturbation; invalid combinations raise."""
-    import pose_refine_tpu as prt
-    from pose_refine_tpu import geometry, mesh
-
-    W, H = 160, 120
-    K = geometry.LINEMOD_K.copy()
-    K[:2] *= 0.25
-    m = mesh.make_bumpy_sphere(radius=50.0, subdivisions=3)
-    pose1, pose2, _ = reference_demo_poses()
-    r = prt.PoseRenderer(m, K=K, width=W, height=H, backend="dense")
-    scene_depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
-
-    ref = prt.PoseRefiner(m, K=K, width=W, height=H, max_points=4096,
-                          window=64, stride=1, use_pallas=False,
-                          reassociate_every=2)
-    ref.set_scene_depth(scene_depth)
-    refined, res = ref.refine(pose1)
-    R_err = np.asarray(refined)[:3, :3] @ pose2[:3, :3].T
-    ang = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
-    assert ang < 4.0, f"reuse-2 refinement off by {ang} deg"
-    assert float(res.fitness) > 0.7
-
-    # chunked loops and the packed reduction cannot reuse correspondences
-    import pytest
-
-    scene = prt.SceneProjective.from_depth(scene_depth, K)
-    cloud = np.zeros((64, 3), np.float32)
-    vmask = np.ones(64, bool)
-    with pytest.raises(ValueError, match="fused"):
-        icp_mod.icp_point_to_plane(cloud, vmask, scene.query,
-                                   chunk_iters=4, reassociate_every=2)
-    with pytest.raises(ValueError, match="matmul"):
-        icp_mod.icp_point_to_plane(cloud, vmask, scene.query,
-                                   reduction="packed",
-                                   chunk_iters=64, reassociate_every=2)
-
-
-def test_reassociate_guard_on_accelerator_backends(monkeypatch):
-    """reassociate_every > 1 must HARD-ERROR on non-CPU backends (the
-    round-3 form wedged the remote TPU compile for >1 h; a docstring
-    warning shipped as the only defense - VERDICT r3 weak #4). The
-    PRT_ALLOW_REASSOC_TPU=1 escape hatch lets a hardware study opt in."""
-    import jax
-    import pytest
-
-    scene_pts = np.zeros((64, 3), np.float32)
-
-    def query(p):
-        return scene_pts, scene_pts, np.zeros(64, bool)
-
-    cloud = np.zeros((64, 3), np.float32)
-    vmask = np.ones(64, bool)
-    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    monkeypatch.delenv("PRT_ALLOW_REASSOC_TPU", raising=False)
-    with pytest.raises(RuntimeError, match="hardware-verified"):
-        icp_mod.icp_point_to_plane(cloud, vmask, query,
-                                   chunk_iters=64, reassociate_every=2)
-    # the opt-in unblocks it (tracing proceeds past the guard)
-    monkeypatch.setenv("PRT_ALLOW_REASSOC_TPU", "1")
-    res, _ = icp_mod.icp_point_to_plane(cloud, vmask, query,
-                                        chunk_iters=64, reassociate_every=2)
-    assert float(res.fitness) == 0.0  # empty association aborts, no crash
-
-
 def test_coarse_schedule_recovers_and_validates():
     """Coarse-to-fine point schedule: the first coarse_iters iterations run
     on a strided subsample, the rest (and the scoring pass) on the full
@@ -497,10 +429,6 @@ def test_coarse_schedule_recovers_and_validates():
     with pytest.raises(ValueError, match="fused"):
         icp_mod.icp_point_to_plane(cloud, vmask, scene.query,
                                    chunk_iters=4, coarse_iters=8)
-    with pytest.raises(ValueError, match="combine"):
-        icp_mod.icp_point_to_plane(cloud, vmask, scene.query,
-                                   chunk_iters=64, coarse_iters=8,
-                                   reassociate_every=2)
     with pytest.raises(ValueError, match="scoring"):
         icp_mod.icp_point_to_plane(cloud, vmask, scene.query,
                                    chunk_iters=64, coarse_iters=30)
