@@ -196,6 +196,10 @@ def _sharded_fn(
                 covariance=pose_sh,
             ),
         )
+    if dict(pipeline_items).get("pack_outputs"):
+        # session loops: the program returns ONE (N, 71) packed buffer
+        # (pipeline._pack_track_outputs), row-sharded with its poses
+        out_shardings = NamedSharding(mesh, P(axis, None))
     return jax.jit(
         functools.partial(
             fn,

@@ -646,8 +646,18 @@ class PoseRefiner:
             or results.n_points is None
         ):
             return
+        self._warn_if_saturated_host(np.asarray(results.n_points))
+
+    def _warn_if_saturated_host(self, n_points_np):
+        """Same guard fed HOST-side counts: the packed session buffer
+        (_pack_track_outputs) already carries per-pose n_points through its
+        one readback, so sessions run the check for free after unpacking
+        (in steady pipelined state it inspects the previous frame's counts,
+        which is what the once-per-frame guard wants)."""
+        if self._suppress_saturation or not self._check_saturation:
+            return
         self._check_saturation = False
-        peak = int(np.max(np.asarray(results.n_points)))
+        peak = int(np.max(n_points_np))
         if self.max_points and peak >= self.max_points:
             logger.warning(
                 "lift budget saturated: a hypothesis filled all %d cloud "
@@ -1185,6 +1195,7 @@ class PoseRefiner:
         criteria: icp.ICPConvergenceCriteria = icp.ICPConvergenceCriteria(),
         with_covariance: bool = False,
         _tris=None,
+        _pack_outputs: bool = False,
     ):
         """One tracking step: rebuild the scene from this frame's depth AND
         refine, fused into a single program. Use in per-frame loops where
@@ -1218,11 +1229,20 @@ class PoseRefiner:
         squeeze = init_poses.ndim == 2
         if squeeze:
             init_poses = init_poses[None]
+        if _pack_outputs and (not with_covariance or squeeze):
+            # the packed (N, 71) session buffer embeds the covariance and
+            # is batch-shaped by construction
+            raise ValueError(
+                "_pack_outputs needs with_covariance=True and a batched "
+                "(N, 4, 4) init_poses"
+            )
         tris = jnp.asarray(self.tris if _tris is None else _tris)
         projective = self.scene_kind == "projective"
         items = self._pipeline_items(criteria)
         if with_covariance:
             items = items + (("with_information", True),)
+        if _pack_outputs:
+            items = items + (("pack_outputs", True),)
         if not projective:
             pool = self._resolve_scene_pool(frame_depth)
             items = items + (("scene_stride", self.scene_stride),
@@ -1255,7 +1275,11 @@ class PoseRefiner:
             if not projective:
                 args = args + (perm,)
             out = fn(*args)
-            out = _sh.unpad_results(n, *out)
+            out = (
+                _sh.unpad_results(n, out)[0]
+                if _pack_outputs
+                else _sh.unpad_results(n, *out)
+            )
         else:
             fn = track_poses_jit if projective else track_poses_nn_jit
             args = (
@@ -1278,6 +1302,11 @@ class PoseRefiner:
                 self.use_pallas,
                 **dict(items),
             )
+        if _pack_outputs:
+            # one (N, 71) device array; the session performs the saturation
+            # check host-side from the buffer's own n_points column
+            # (_warn_if_saturated_host) - no extra readback here
+            return out
         self._warn_if_saturated(out[1])
         if squeeze:
             out = tuple(jax.tree.map(lambda x: x[0], o) for o in out)
@@ -1303,6 +1332,21 @@ class PoseRefiner:
             self._suppress_saturation = False
         return PendingResult(*out)
 
+    def track_packed_async(self, *args, **kwargs):
+        """track_async for session loops: the fused program ALSO packs
+        (refined, results, uncertainty) into the (N, 71) session buffer
+        (see _pack_track_outputs), so a pipelined tracking frame enqueues
+        ONE program instead of two. Returns the packed device array;
+        unpack host-side with tracking._unpack_outputs(buf, has_np=True).
+        Implies with_covariance=True."""
+        self._suppress_saturation = True
+        try:
+            return self.track(
+                *args, with_covariance=True, _pack_outputs=True, **kwargs
+            )
+        finally:
+            self._suppress_saturation = False
+
     @staticmethod
     def rank(results: icp.RegistrationResult):
         """Hypothesis re-ranking: best-first indices by (fitness, -rmse).
@@ -1315,13 +1359,38 @@ class PoseRefiner:
         return order
 
 
+def _pack_track_outputs(refined, results, unc):
+    """(N, 71) session buffer, traced INTO the fused track program:
+    [refined 16 | transformation 16 | fitness | rmse | n_points | cov 36].
+    Tracking sessions consume exactly this per frame; packing it inside
+    track_poses_*_jit (pack_outputs=True) makes a pipelined tracking frame
+    cost ONE enqueued program instead of two (track + the separate packing
+    program) - on tunneled runtimes each program is a ~30 ms round trip,
+    so this is a third of the per-frame latency. Host-side inverse:
+    tracking._unpack_outputs(buf, has_np=True)."""
+    if unc is None or results.n_points is None:
+        raise ValueError(
+            "pack_outputs needs with_information=True and a lift that "
+            "reports per-pose point counts"
+        )
+    n = refined.shape[0]
+    return jnp.concatenate([
+        refined.reshape(n, 16),
+        results.transformation.reshape(n, 16),
+        results.fitness[:, None],
+        results.inlier_rmse[:, None],
+        results.n_points[:, None].astype(jnp.float32),
+        unc.covariance.reshape(n, 36),
+    ], axis=1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "width", "height", "max_points", "criteria", "use_pallas",
         "lift", "window", "stride", "roi", "chunk_iters", "robust_delta",
         "coarse_iters", "coarse_stride", "estimation",
-        "with_information",
+        "with_information", "pack_outputs",
     ),
 )
 def track_poses_jit(
@@ -1330,15 +1399,18 @@ def track_poses_jit(
     lift="window", window=256, stride=2, roi=(0, 0, 0, 0), chunk_iters=8,
     robust_delta=0.0, coarse_iters=0, coarse_stride=2,
     estimation="point_to_plane", with_information=False,
+    pack_outputs=False,
 ):
     """Per-frame scene build FUSED with refinement: one program per frame.
 
     The projective scene build is pure jnp (dep2pcd + the normal stencil),
     so it traces into the same program as render->lift->ICP - a tracking
     loop pays ONE dispatch for compute instead of two (the reference
-    rebuilds its scene every frame as a separate host step, SURVEY 3.3)."""
+    rebuilds its scene every frame as a separate host step, SURVEY 3.3).
+    pack_outputs=True (sessions) additionally folds the (N, 71) output
+    packing into the same program - see _pack_track_outputs."""
     scene = SceneProjective.from_depth(frame_depth, K_full, max_dist)
-    return refine_poses_jit(
+    out = refine_poses_jit(
         tris, init_poses, scene, proj, K_render,
         width=width, height=height, max_points=max_points, criteria=criteria,
         use_pallas=use_pallas, lift=lift, window=window, stride=stride,
@@ -1346,6 +1418,7 @@ def track_poses_jit(
         coarse_iters=coarse_iters, coarse_stride=coarse_stride,
         estimation=estimation, with_information=with_information,
     )
+    return _pack_track_outputs(*out) if pack_outputs else out
 
 
 @functools.partial(
@@ -1354,7 +1427,7 @@ def track_poses_jit(
         "width", "height", "max_points", "criteria", "use_pallas",
         "lift", "window", "stride", "roi", "chunk_iters", "robust_delta",
         "scene_stride", "scene_pool", "coarse_iters",
-        "coarse_stride", "estimation", "with_information",
+        "coarse_stride", "estimation", "with_information", "pack_outputs",
     ),
 )
 def track_poses_nn_jit(
@@ -1363,7 +1436,7 @@ def track_poses_nn_jit(
     lift="window", window=256, stride=2, roi=(0, 0, 0, 0), chunk_iters=8,
     robust_delta=0.0, scene_stride=1, scene_pool=1,
     coarse_iters=0, coarse_stride=2, estimation="point_to_plane",
-    with_information=False,
+    with_information=False, pack_outputs=False,
 ):
     """Per-frame NN-scene build FUSED with refinement - the NN twin of
     track_poses_jit. The reference rebuilds Scene_nn on the HOST every
@@ -1377,7 +1450,7 @@ def track_poses_nn_jit(
         frame_depth, K_full, max_dist, stride=scene_stride, perm=perm,
         pool=scene_pool,
     )
-    return refine_poses_jit(
+    out = refine_poses_jit(
         tris, init_poses, scene, proj, K_render,
         width=width, height=height, max_points=max_points, criteria=criteria,
         use_pallas=use_pallas, lift=lift, window=window, stride=stride,
@@ -1385,6 +1458,7 @@ def track_poses_nn_jit(
         coarse_iters=coarse_iters, coarse_stride=coarse_stride,
         estimation=estimation, with_information=with_information,
     )
+    return _pack_track_outputs(*out) if pack_outputs else out
 
 
 class MultiModelRefiner(PoseRefiner):

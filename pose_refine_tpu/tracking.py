@@ -29,8 +29,6 @@ from __future__ import annotations
 import json
 from typing import NamedTuple, Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from pose_refine_tpu import icp
@@ -79,38 +77,15 @@ def _advance_tracker(tracker: PoseTracker, motion: str, motion_mm) -> None:
         tracker.predict()
 
 
-@jax.jit
-def _pack_outputs(refined, transformation, fitness, rmse, n_points, cov):
-    """Everything a session consumes per frame, as ONE (N, 71) buffer:
-    [refined 16 | transformation 16 | fitness | rmse | n_points | cov 36].
-    On tunneled runtimes every np.asarray is a separate ~28 ms D2H round
-    trip - six per frame made the tracking loop host-readback-bound
-    (measured 272 ms/frame; VERDICT r3 #3). One packed pull is one."""
-    n = refined.shape[0]
-    return jnp.concatenate([
-        refined.reshape(n, 16),
-        transformation.reshape(n, 16),
-        fitness[:, None],
-        rmse[:, None],
-        n_points[:, None].astype(jnp.float32),
-        cov.reshape(n, 36),
-    ], axis=1)
-
-
-def _pack_on_device(refined, results, unc):
-    """Enqueue the packing program (async, no host sync); returns
-    (packed_device_array, has_n_points)."""
-    has_np = results.n_points is not None
-    packed = _pack_outputs(
-        jnp.asarray(refined), results.transformation, results.fitness,
-        results.inlier_rmse,
-        results.n_points if has_np else results.fitness,
-        unc.covariance)
-    return packed, has_np
-
-
 def _unpack_outputs(buf: np.ndarray, has_np: bool):
-    """Host-side inverse of _pack_outputs: (refined, results, cov f64)."""
+    """Host-side inverse of pipeline._pack_track_outputs' (N, 71) session
+    buffer ([refined 16 | transformation 16 | fitness | rmse | n_points |
+    cov 36]): (refined, results, cov f64). On tunneled runtimes every
+    np.asarray is a separate ~28 ms D2H round trip - six per frame made the
+    tracking loop host-readback-bound (measured 272 ms/frame; VERDICT r3
+    #3). One packed pull is one - and since the packing is traced INTO the
+    fused track program (pack_outputs=True), a session frame is exactly one
+    enqueued program plus this one readback."""
     n = buf.shape[0]
     results_np = icp.RegistrationResult(
         transformation=buf[:, 16:32].reshape(n, 4, 4),
@@ -124,12 +99,13 @@ def _unpack_outputs(buf: np.ndarray, has_np: bool):
     return buf[:, :16].reshape(n, 4, 4), results_np, cov_np
 
 
-def _pull_track_outputs(refined, results, unc):
-    """Fetch one frame's track(with_covariance=True) outputs with a SINGLE
-    device-to-host transfer. Returns (refined, results, cov) as host numpy
-    (cov float64, ready for the filter)."""
-    packed, has_np = _pack_on_device(refined, results, unc)
-    return _unpack_outputs(np.asarray(packed), has_np)
+def _pull_packed(refiner, packed):
+    """Fence + unpack one frame's packed track outputs, running the
+    refiner's saturation guard on the buffer's own n_points column (the
+    fused pack path skips the in-refiner check to stay readback-free)."""
+    refined_np, results_np, cov_np = _unpack_outputs(np.asarray(packed), True)
+    refiner._warn_if_saturated_host(results_np.n_points)
+    return refined_np, results_np, cov_np
 
 
 # hypotheses below this fitness diverged (or track a different basin) and
@@ -302,7 +278,7 @@ class TrackingSession:
         self.max_innovation = max_innovation
         self._rng = np.random.default_rng(seed)
         self.n_frames = 0
-        self._inflight = None  # step_async's pending (PendingResult, motion)
+        self._inflight = None  # step_async's pending (packed, motion)
 
     @property
     def pose(self) -> np.ndarray:
@@ -349,16 +325,18 @@ class TrackingSession:
             )
             if isinstance(self.refiner, MultiModelRefiner):
                 ids = np.full((hyps.shape[0],), int(model_id), np.int32)
-                refined, results, unc = self.refiner.track(
-                    frame_depth, ids, hyps, with_covariance=True
+                packed = self.refiner.track(
+                    frame_depth, ids, hyps, with_covariance=True,
+                    _pack_outputs=True,
                 )
             else:
-                refined, results, unc = self.refiner.track(
-                    frame_depth, hyps, with_covariance=True
+                packed = self.refiner.track(
+                    frame_depth, hyps, with_covariance=True,
+                    _pack_outputs=True,
                 )
             step = _fuse_ranked_best(
                 self.tracker,
-                *_pull_track_outputs(refined, results, unc),
+                *_pull_packed(self.refiner, packed),
                 self.gate_chi2,
                 self.max_innovation,
                 self.min_quality,
@@ -395,7 +373,7 @@ class TrackingSession:
         order at fuse time."""
         tmp = PoseTracker.from_state(self.tracker.state_dict())
         if self._inflight is not None:
-            self._advance(tmp, self._inflight[2])  # the in-flight frame's motion
+            self._advance(tmp, self._inflight[1])  # the in-flight frame's motion
         self._advance(tmp, motion_mm)
         return tmp.hypotheses(
             self.n_hypotheses, scale=self.hypothesis_scale, seed=self._rng
@@ -408,12 +386,12 @@ class TrackingSession:
         stepping with the same measurements."""
         if self._inflight is None:
             return None
-        packed, has_np, motion_mm = self._inflight
+        packed, motion_mm = self._inflight
         self._inflight = None
         self._advance(self.tracker, motion_mm)
         step = _fuse_ranked_best(
             self.tracker,
-            *_unpack_outputs(np.asarray(packed), has_np),
+            *_pull_packed(self.refiner, packed),
             self.gate_chi2,
             self.max_innovation,
             self.min_quality,
@@ -453,20 +431,16 @@ class TrackingSession:
         rng_state = self._rng.bit_generator.state
         try:
             hyps = self._sample_ahead(motion_mm)
+            # the output packing is traced INTO the fused track program
+            # (pack_outputs) - one enqueued program per frame, and the
+            # eventual fuse is one pure D2H
             if isinstance(self.refiner, MultiModelRefiner):
                 ids = np.full((hyps.shape[0],), int(model_id), np.int32)
-                pending = self.refiner.track_async(
-                    frame_depth, ids, hyps, with_covariance=True
+                packed = self.refiner.track_packed_async(
+                    frame_depth, ids, hyps
                 )
             else:
-                pending = self.refiner.track_async(
-                    frame_depth, hyps, with_covariance=True
-                )
-            # enqueue the output-packing program NOW (async): it chains
-            # after the track program on device, so the eventual fuse is
-            # one pure D2H
-            packed, has_np = _pack_on_device(
-                pending.refined, pending.results, pending.uncertainty)
+                packed = self.refiner.track_packed_async(frame_depth, hyps)
         except BaseException:
             self._rng.bit_generator.state = rng_state
             raise
@@ -484,7 +458,7 @@ class TrackingSession:
             self.tracker = PoseTracker.from_state(tracker_state)
             self._inflight = prev_inflight
             raise
-        self._inflight = (packed, has_np, motion_mm)
+        self._inflight = (packed, motion_mm)
         return prev
 
     def flush(self) -> Optional[TrackStep]:
@@ -641,7 +615,7 @@ class MultiObjectSession:
         self.max_innovation = max_innovation
         self._rng = np.random.default_rng(seed)
         self.n_frames = 0
-        self._inflight = None  # step_async's pending (packed, has_np, motions)
+        self._inflight = None  # step_async's pending (packed, motions)
 
     @property
     def poses(self) -> np.ndarray:
@@ -660,14 +634,16 @@ class MultiObjectSession:
         _advance_tracker(tracker, self.motion, motion_mm)
 
     def _track_batch(self, frame_depth, hyp_blocks, async_: bool):
-        """One fused dispatch over every object's hypothesis block."""
+        """One fused dispatch over every object's hypothesis block,
+        output packing included (pack_outputs) - returns the (K*n, 71)
+        packed device buffer."""
         hyps = np.concatenate(hyp_blocks)  # (K*n, 4, 4)
         ids = np.repeat(np.asarray(self.model_ids, np.int32),
                         self.n_hypotheses)
         if async_:
-            return self.refiner.track_async(
-                frame_depth, ids, hyps, with_covariance=True)
-        return self.refiner.track(frame_depth, ids, hyps, with_covariance=True)
+            return self.refiner.track_packed_async(frame_depth, ids, hyps)
+        return self.refiner.track(frame_depth, ids, hyps,
+                                  with_covariance=True, _pack_outputs=True)
 
     def _fuse_all(self, refined_np, results_np, cov_np) -> list:
         """Slice the fused batch per object and gate/fuse each tracker."""
@@ -726,9 +702,8 @@ class MultiObjectSession:
                 hyp_blocks.append(tracker.hypotheses(
                     self.n_hypotheses, scale=self.hypothesis_scale,
                     seed=self._rng))
-            refined, results, unc = self._track_batch(
-                frame_depth, hyp_blocks, async_=False)
-            return self._fuse_all(*_pull_track_outputs(refined, results, unc))
+            packed = self._track_batch(frame_depth, hyp_blocks, async_=False)
+            return self._fuse_all(*_pull_packed(self.refiner, packed))
         except BaseException:
             self._rng.bit_generator.state = rng_state
             self.trackers = [
@@ -744,11 +719,11 @@ class MultiObjectSession:
     def _fuse_inflight(self) -> Optional[list]:
         if self._inflight is None:
             return None
-        packed, has_np, motions_mm = self._inflight
+        packed, motions_mm = self._inflight
         self._inflight = None
         for tracker, motion_mm in zip(self.trackers, motions_mm):
             self._advance(tracker, motion_mm)
-        return self._fuse_all(*_unpack_outputs(np.asarray(packed), has_np))
+        return self._fuse_all(*_pull_packed(self.refiner, packed))
 
     def step_async(self, frame_depth, motions_mm=None) -> Optional[list]:
         """Pipelined tracking: enqueue this frame's fused program, then
@@ -757,7 +732,7 @@ class MultiObjectSession:
         :meth:`flush` after the last frame to collect the final steps."""
         motions_mm = self._check_motions(motions_mm)
         inflight_motions = (
-            self._inflight[2] if self._inflight is not None
+            self._inflight[1] if self._inflight is not None
             else [None] * len(self.trackers)
         )
         # roll the rng stream back if the dispatch rejects the frame (the
@@ -774,9 +749,7 @@ class MultiObjectSession:
                 hyp_blocks.append(tmp.hypotheses(
                     self.n_hypotheses, scale=self.hypothesis_scale,
                     seed=self._rng))
-            pending = self._track_batch(frame_depth, hyp_blocks, async_=True)
-            packed, has_np = _pack_on_device(
-                pending.refined, pending.results, pending.uncertainty)
+            packed = self._track_batch(frame_depth, hyp_blocks, async_=True)
         except BaseException:
             self._rng.bit_generator.state = rng_state
             raise
@@ -793,7 +766,7 @@ class MultiObjectSession:
                 PoseTracker.from_state(s) for s in tracker_states]
             self._inflight = prev_inflight
             raise
-        self._inflight = (packed, has_np, motions_mm)
+        self._inflight = (packed, motions_mm)
         return prev
 
     def flush(self) -> Optional[list]:
