@@ -157,9 +157,15 @@ UB_BALL = 32   # scene points per upper-bound ball (pass 1). Finer balls
                # upper bound toward the oracle: conv-stage prune 46.5% ->
                # near-oracle (75.8%) territory for +5 lane-chunks of pass-1.
 GSUB_TILE = None  # sub-tile pruning band (None = whole q_tile). Round-5
-                  # candidate default 128: small-band prune rates at
-                  # big-tile fixed costs; adopt only after a hardware A/B
-                  # (scripts/nn_tile_bound_study.py sweeps it).
+                  # hardware A/B (scripts/nn_tile_bound_study.py, 62k real
+                  # queries vs the 26k-pt bench scene): every sub-tile
+                  # variant LOSES to the plain T512/b32 bound (s256/s128/
+                  # s64 at 42.0/42.2/45.1 ms vs 33.5; T1024/s128 38.7) -
+                  # the per-band bound reductions + extra scalar work cost
+                  # more than the tighter pruning saves, same failure mode
+                  # as small tiles. REJECTED as default; the knob stays
+                  # A/B-able (exactness pinned per-combination in
+                  # tests/test_property.py).
 
 
 def _kernel_gated(gate_ref, fid_ref, boxes_ref, cents_ref, scene_ref, q_ref,
