@@ -344,19 +344,25 @@ def main():
     # lossless on this workload - 100% recovery, ADD slightly BETTER than
     # the raw cloud since voxel centroids denoise the 1 mm depth
     # quantization, scripts/nn_voxel_study.py). The raw-cloud number is
-    # emitted alongside. ----
-    for vox, tag in ((2.0, "poses_per_sec_batch256_nn_scene"),
-                     (0.0, "poses_per_sec_batch256_nn_scene_raw_cloud")):
+    # emitted alongside, plus the scene-cascade raw-cloud config (16
+    # coarse iters vs a 2 mm twin + 4 full-res iters = 2.27x raw-24 with
+    # 100%% verdict agreement, scripts/nn_cascade_study.py). ----
+    for vox, cascade, crit_nn, tag in (
+            (2.0, None, CRIT, "poses_per_sec_batch256_nn_scene"),
+            (0.0, None, CRIT, "poses_per_sec_batch256_nn_scene_raw_cloud"),
+            (0.0, (2.0, 16), ICPConvergenceCriteria(max_iteration=4),
+             "poses_per_sec_batch256_nn_raw_cloud_cascade")):
         try:
             refiner_nn = prt.PoseRefiner(
                 model, K=K, width=WIDTH, height=HEIGHT, use_pallas=use_pallas,
-                scene="nn_bruteforce", scene_voxel_mm=vox, **CFG,
+                scene="nn_bruteforce", scene_voxel_mm=vox,
+                scene_cascade=cascade, **CFG,
             )
             refiner_nn.set_scene_depth(scene_depth)
             n_nn = N_POSES
             poses_nn = jax.device_put(jnp.asarray(poses[:n_nn]))
             t_nn, (r_nn, res_nn) = _time_median(
-                lambda: refiner_nn.refine(poses_nn, criteria=CRIT), lambda o: sync((o[0],))
+                lambda: refiner_nn.refine(poses_nn, criteria=crit_nn), lambda o: sync((o[0],))
             )
             rot_nn = rotation_angle_deg(np.asarray(r_nn), truth)
             _emit({"metric": tag, "value": round(n_nn / t_nn, 1),

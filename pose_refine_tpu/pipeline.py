@@ -359,9 +359,11 @@ class PoseRefiner:
         # resolution scene (final associations + fitness/rmse/covariance
         # are all full-res). The TPU answer to "start on a decimated
         # kd-tree": same association structure, two gathers' worth of
-        # program, no traversal. Measured on the 26k-pt raw bench cloud:
-        # (2.0, 16) + 8 fine iters = same verdicts/recovery as 24 raw
-        # iters at ~2x the throughput (scripts/nn_cascade_study.py).
+        # program, no traversal. Measured on TPU (26k-pt raw bench cloud,
+        # 2026-08-20, scripts/nn_cascade_study.py): (2.0, 16) + 8 fine
+        # iters = 1.68x raw-24 throughput, + 4 fine iters = 2.27x, both
+        # with 100% per-case verdict agreement, 100% recovery, and max
+        # refined-pose delta 0.24 deg / 0.18 mm vs the raw-24 arm.
         if scene_cascade is not None:
             if scene not in ("nn", "nn_kdtree", "nn_bruteforce"):
                 raise ValueError(
