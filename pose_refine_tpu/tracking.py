@@ -213,7 +213,11 @@ class TrackingSession:
         PoseRefiner.track).
       init_pose: (4, 4) detector pose for frame 0, translation in mm.
       init_cov / process_noise: forwarded to PoseTracker (defaults: diffuse
-        5 deg / 20 mm prior; 1 deg / 5 mm per-frame random walk).
+        5 deg / 20 mm prior; 1 deg / 5 mm per-frame random walk). COLD
+        STARTS: make init_cov as wide as the detector's actual error - an
+        init pose several sigma outside the prior makes the innovation
+        gate reject the (correct) first refinement as a wrong-basin jump
+        (tests/test_tracking.py::test_session_cold_start_needs_matching_init_cov).
       motion: 'random_walk' (default - measured strictly dominant for slow
         or jittery motion, scripts/fusion_study.py slow regime) or
         'constant_velocity' (the fix for FAST smooth motion, where a random

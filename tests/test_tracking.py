@@ -83,6 +83,38 @@ def test_session_rejects_corrupt_frame(setup):
     assert session.step(depth).accepted
 
 
+def test_session_cold_start_needs_matching_init_cov(setup):
+    """Cold-start acquisition: initializing the session at the reference
+    acceptance perturbation (10 deg/axis + 20 mm off truth, test.cpp:29-44)
+    is ~3.4 sigma outside the default diffuse prior (5 deg / 20 mm), so the
+    chi-square innovation gate rejects the (perfectly good) first
+    refinement BY DESIGN - wrong-basin protection cannot distinguish a bad
+    measurement from a bad prior. The documented recipe is to pass an
+    init_cov as wide as the detector's actual error; then frame 0 is
+    accepted and the fused pose lands on truth."""
+    m, K, r = setup
+    pose1, pose2, _ = reference_demo_poses()
+    depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+
+    # default tight prior: refinement jumps ~17 deg -> gated out
+    tight = prt.TrackingSession(_refiner(m, K), pose1, n_hypotheses=2,
+                                seed=3)
+    step = tight.step(depth)
+    assert not step.accepted and tight.n_rejected == 1
+    np.testing.assert_array_equal(step.pose, pose1)  # prediction kept
+
+    # prior that admits the detector error: accepted, converged
+    wide = prt.TrackingSession(
+        _refiner(m, K), pose1, n_hypotheses=2, seed=3,
+        init_cov=np.diag([0.12**2] * 3 + [0.03**2] * 3))
+    step = wide.step(depth)
+    assert step.accepted and step.fitness > 0.7
+    R_err = step.pose[:3, :3] @ pose2[:3, :3].T
+    ang = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+    assert ang < 4.0, f"cold start failed to converge ({ang} deg)"
+    assert np.abs(step.pose[:3, 3] - pose2[:3, 3]).max() < 6.0
+
+
 def test_session_resume_bit_exact(setup):
     """state_dict/from_state resumes the exact loop: same frames in, same
     poses out, bit for bit (incl. the hypothesis rng stream)."""
