@@ -620,12 +620,18 @@ def simplify_vertex_clustering(
     v = model.vertices.astype(np.float64)
     lo = v.min(axis=0)
     cell = np.maximum(np.floor((v - lo) / float(cell_size)).astype(np.int64), 0)
-    if cell.max() >= (1 << 21):  # 21 bits per axis in the packed key below
+    # packed int64 key: 3 axis fields + (split_normals) a 3-bit octant on
+    # top. The octant shift costs the axis fields 1 bit each - with 21-bit
+    # fields the x field would reach bit 65 and WRAP, silently merging
+    # clusters half the grid apart instead of raising the loud unit-mistake
+    # error this guard exists to give.
+    bits = 20 if split_normals else 21
+    if cell.max() >= (1 << bits):
         raise ValueError(
-            f"mesh spans {cell.max() + 1} cells on one axis (> 2^21): "
+            f"mesh spans {cell.max() + 1} cells on one axis (> 2^{bits}): "
             f"cell_size {cell_size} is too small for this extent/unit"
         )
-    key = (cell[:, 0] << 42) | (cell[:, 1] << 21) | cell[:, 2]
+    key = (cell[:, 0] << (2 * bits)) | (cell[:, 1] << bits) | cell[:, 2]
     if split_normals:
         # area-weighted vertex normals (cross products sum over incident
         # faces), bucketed by sign octant: 3 bits on top of the cell key

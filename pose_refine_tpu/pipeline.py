@@ -443,6 +443,13 @@ class PoseRefiner:
         self._auto_points = max_points == "auto"
         self.max_points = 0 if self._auto_points else int(max_points)
         self.max_dist_diff = float(max_dist_diff)
+        if scene not in ("projective", "nn", "nn_kdtree", "nn_bruteforce"):
+            # loud at construction: set_scene_depths' NN else-branch would
+            # otherwise silently build a bruteforce stack for a typo'd kind
+            raise ValueError(
+                f"unknown scene kind {scene!r}: expected 'projective', "
+                "'nn', 'nn_kdtree' or 'nn_bruteforce'"
+            )
         self.scene_kind = scene
         self.scene = None
         if use_pallas is None:
@@ -1340,14 +1347,13 @@ class PoseRefiner:
         (see _pack_track_outputs), so a pipelined tracking frame enqueues
         ONE program instead of two. Returns the packed device array;
         unpack host-side with tracking._unpack_outputs(buf, has_np=True).
-        Implies with_covariance=True."""
-        self._suppress_saturation = True
-        try:
-            return self.track(
-                *args, with_covariance=True, _pack_outputs=True, **kwargs
-            )
-        finally:
-            self._suppress_saturation = False
+        Implies with_covariance=True. No suppress-flag dance here (unlike
+        track_async): the _pack_outputs path returns the packed buffer
+        BEFORE track() reaches _warn_if_saturated - the session performs
+        the check host-side from the buffer's n_points column."""
+        return self.track(
+            *args, with_covariance=True, _pack_outputs=True, **kwargs
+        )
 
     @staticmethod
     def rank(results: icp.RegistrationResult):

@@ -390,8 +390,14 @@ class SceneNNStack:
         """The NN query closure bound to frame ``sid`` (a traced int32
         scalar) - vmapped over poses so each lane associates against its
         own frame with ONE frame's scan cost (the gated kernel windows to
-        the frame's chunk region)."""
-        sid = jnp.asarray(sid, jnp.int32)
+        the frame's chunk region).
+
+        ``sid`` is clamped to [0, n_scenes): device-resident ids skip the
+        host range check (metadata-only validation, pipeline.refine
+        docstring), and an unclamped out-of-range id would NaN-poison the
+        CPU path (jnp.take fill mode past the table) and drive the gated
+        kernel's loop bounds past its refs on TPU."""
+        sid = jnp.clip(jnp.asarray(sid, jnp.int32), 0, self.n_scenes - 1)
         base = sid * jnp.int32(self.frame_rows)
 
         def query(src):

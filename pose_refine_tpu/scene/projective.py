@@ -172,8 +172,15 @@ class SceneProjectiveStack:
     def query_at(self, sid):
         """The query closure bound to scene ``sid`` (a traced int32
         scalar) - vmapped over poses so each lane associates against its
-        own frame with the SAME gather count as a single-scene query."""
-        base = jnp.int32(sid) * jnp.int32(self.height * self.width)
+        own frame with the SAME gather count as a single-scene query.
+
+        ``sid`` is clamped to [0, n_scenes) here: device-resident ids are
+        validated by shape only (pipeline.refine docstring), and without
+        the clamp an out-of-range id would push ``base`` past the table,
+        where jnp.take's fill mode poisons every association with NaN
+        instead of the documented nearest-valid-frame behavior."""
+        sid = jnp.clip(jnp.asarray(sid, jnp.int32), 0, self.n_scenes - 1)
+        base = sid * jnp.int32(self.height * self.width)
 
         def query(src):
             return _project_gate(

@@ -205,8 +205,31 @@ def test_ply_vertex_without_xyz_raises_specific_error(tmp_path):
 
 def test_simplify_rejects_absurd_cell_size():
     m = mesh.make_bumpy_sphere(radius=50.0, subdivisions=2)
-    with pytest.raises(ValueError, match="2\\^21"):
+    with pytest.raises(ValueError, match="2\\^20"):
         mesh.simplify_vertex_clustering(m, cell_size=1e-6)
+    with pytest.raises(ValueError, match="2\\^21"):
+        mesh.simplify_vertex_clustering(m, cell_size=1e-6,
+                                        split_normals=False)
+
+
+def test_simplify_split_normals_key_cannot_overflow():
+    """The 3-bit octant key costs each axis field one bit: a mesh spanning
+    2^20 cells must RAISE under split_normals, not wrap the int64 key and
+    silently merge vertices half the grid apart (the unit-mistake case the
+    guard documents - e.g. a micron-unit mesh at a mm cell_size)."""
+    span = float(1 << 20)  # cells at x=0 and x=2^20: old packing collided
+    verts = np.array([
+        [0, 0, 0], [1, 0, 0], [0, 1, 0],
+        [span, 0, 0], [span + 1, 0, 0], [span, 1, 0],
+    ], np.float32)
+    faces = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    m = mesh.Model.from_vertices_faces(verts, faces)
+    with pytest.raises(ValueError, match="2\\^20"):
+        mesh.simplify_vertex_clustering(m, cell_size=1.0)
+    # one bit narrower is legal and keeps the far clusters apart
+    s = mesh.simplify_vertex_clustering(m, cell_size=2.0)
+    assert len(s.vertices) >= 2
+    assert np.ptp(s.vertices[:, 0]) > span / 2
 
 
 # --- OBJ / STL loaders (Assimp-generality parity, renderer.cpp:11-150) ---

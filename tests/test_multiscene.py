@@ -233,6 +233,34 @@ def test_nn_stack_query_matches_per_frame_scene(setup):
                 np.asarray(n_s)[v], np.asarray(n_q)[v])
 
 
+def test_stack_query_clamps_out_of_range_sid(setup):
+    """Device-resident scene_ids are validated by shape only (a min/max
+    readback would fence refine_async), so the refine() docstring promises
+    an out-of-range id CLAMPS to the nearest valid frame. Pin that for
+    both stack kinds: without the clamp, jnp.take's fill mode would NaN-
+    poison every association (and the gated TPU kernel would scan past
+    its refs)."""
+    import jax.numpy as jnp
+
+    from pose_refine_tpu.scene.nn import SceneNNStack
+
+    m, K, truths, frames = setup
+    rng = np.random.default_rng(13)
+    src = jnp.asarray(rng.uniform(-0.1, 0.1, (128, 3)).astype(np.float32)
+                      + np.float32([0, 0, 0.3]))
+    proj = SceneProjectiveStack.from_depths(frames, K)
+    nn = SceneNNStack.from_depths(frames, K, backend="bruteforce")
+    for stack in (proj, nn):
+        for bad, good in ((jnp.int32(3), 2), (jnp.int32(-1), 0),
+                          (jnp.int32(99), 2)):
+            d_b, n_b, v_b = stack.query_at(bad)(src)
+            d_g, n_g, v_g = stack.query_at(jnp.int32(good))(src)
+            assert np.isfinite(np.asarray(d_b)[np.asarray(v_b)]).all()
+            np.testing.assert_array_equal(np.asarray(v_b), np.asarray(v_g))
+            np.testing.assert_array_equal(np.asarray(d_b), np.asarray(d_g))
+            np.testing.assert_array_equal(np.asarray(n_b), np.asarray(n_g))
+
+
 def test_refine_nn_multiscene_matches_per_frame(setup):
     """ONE stacked NN dispatch == K per-frame NN refinements (the gated
     kernel windows its scan to each pose's frame region)."""

@@ -843,6 +843,18 @@ def test_track_async_defers_saturation_fence(setup):
     np.testing.assert_allclose(refined_async, np.asarray(tracked), atol=1e-5)
 
 
+def test_unknown_scene_kind_rejected_at_init():
+    """A typo'd scene kind must fail loudly at CONSTRUCTION - before this
+    check, set_scene_depths' NN else-branch silently built a bruteforce
+    stack for any unknown kind (different speed/semantics, no error)."""
+    m = mesh.make_icosphere(radius=50.0, subdivisions=1)
+    K = geometry.LINEMOD_K.copy()
+    with pytest.raises(ValueError, match="unknown scene kind"):
+        prt.PoseRefiner(m, K=K, scene="projectve")
+    with pytest.raises(ValueError, match="unknown scene kind"):
+        prt.PoseRefiner(m, K=K, scene="nn_flash")
+
+
 def test_scene_cascade_validation():
     m = mesh.make_icosphere(radius=50.0, subdivisions=1)
     K = geometry.LINEMOD_K.copy()
