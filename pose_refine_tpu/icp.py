@@ -90,7 +90,11 @@ def _solve_damped(AtA, Atb, penalty: float = 0.01):
     M = AtA + penalty * jnp.eye(6, dtype=AtA.dtype)
     cho = jax.scipy.linalg.cho_factor(M)
     x = jax.scipy.linalg.cho_solve(cho, Atb)
-    r = Atb - M @ x
+    # full-f32 residual: with the TPU default (bf16 products) r would be
+    # ~1e-2 relative NOISE and the refinement step would ADD
+    # cond(M)-amplified error instead of recovering f64-like accuracy -
+    # the whole point of this stand-in for the reference's f64 LDLT
+    r = Atb - jnp.matmul(M, x, precision=F32)
     x = x + jax.scipy.linalg.cho_solve(cho, r)
     return x
 
@@ -106,6 +110,20 @@ def _huber_sqrt_w(b, delta: float):
     return jnp.sqrt(jnp.minimum(1.0, delta / jnp.maximum(ab, 1e-12)))
 
 
+def _weighted_rows(cloud, valid, dst, nrm, q_valid, robust_delta: float):
+    """Shared front half of both point-to-plane reductions: mask, residual,
+    Huber weight, masked-and-weighted (P, 6) Jacobian rows. One definition
+    so the round-4 invariant (every reduce masks by q_valid & valid, which
+    keeps non-origin padded rows bit-inert) cannot drift between the
+    matmul and packed variants."""
+    v = (q_valid & valid).astype(cloud.dtype)
+    diff = dst - cloud
+    b = jnp.sum(diff * nrm, axis=-1)
+    w = v if robust_delta <= 0.0 else v * _huber_sqrt_w(b, robust_delta)
+    arow = jnp.concatenate([jnp.cross(cloud, nrm), nrm], axis=-1) * w[:, None]
+    return v, diff, b, w, arow
+
+
 def _normal_equations_from_assoc(cloud, valid, dst, nrm, q_valid,
                                  robust_delta: float = 0.0):
     """Reduction half of _normal_equations, from a given association.
@@ -115,11 +133,8 @@ def _normal_equations_from_assoc(cloud, valid, dst, nrm, q_valid,
     the normal equations without re-querying the scene; this half is
     matmul-cheap (the association gather is the row-count-bound part of
     an iteration, PERF_NOTES)."""
-    v = (q_valid & valid).astype(cloud.dtype)
-    diff = dst - cloud
-    b = jnp.sum(diff * nrm, axis=-1)
-    w = v if robust_delta <= 0.0 else v * _huber_sqrt_w(b, robust_delta)
-    arow = jnp.concatenate([jnp.cross(cloud, nrm), nrm], axis=-1) * w[:, None]
+    v, diff, b, w, arow = _weighted_rows(
+        cloud, valid, dst, nrm, q_valid, robust_delta)
     bm = b * w
     AtA = jnp.einsum("pi,pj->ij", arow, arow, precision=F32)
     Atb = jnp.einsum("pi,p->i", arow, bm, precision=F32)
@@ -205,11 +220,8 @@ def _normal_equations_packed(cloud, valid, query_fn, robust_delta: float = 0.0):
     tests (the reference similarly keeps its global-memory variant around
     for comparison, icp.cu:8-9)."""
     dst, nrm, q_valid = query_fn(cloud)
-    v = (q_valid & valid).astype(cloud.dtype)
-    diff = dst - cloud
-    b = jnp.sum(diff * nrm, axis=-1)
-    w = v if robust_delta <= 0.0 else v * _huber_sqrt_w(b, robust_delta)
-    arow = jnp.concatenate([jnp.cross(cloud, nrm), nrm], axis=-1) * w[:, None]
+    v, diff, b, w, arow = _weighted_rows(
+        cloud, valid, dst, nrm, q_valid, robust_delta)
     iu, ju = jnp.triu_indices(6)
     packed = jnp.concatenate(
         [
@@ -286,6 +298,12 @@ def icp_point_to_plane(
     liability, so it was cut in round 5 (git history has the flat-unroll
     restructuring if the toolchain ever moves).
     """
+    if reduction not in ("matmul", "packed"):
+        # fail LOUD like the estimation/variant selectors: a typo'd
+        # reduction would otherwise silently A/B matmul against itself
+        raise ValueError(
+            f"unknown reduction {reduction!r}: expected 'matmul' or 'packed'"
+        )
     base_fn = (
         _normal_equations_packed if reduction == "packed" else _normal_equations
     )

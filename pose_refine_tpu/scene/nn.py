@@ -199,16 +199,43 @@ class SceneNN:
         n = nrm.reshape(-1, 3)[perm]
         m = mask.reshape(-1)[perm]
 
+        # Park invalid rows at their CHUNK's first valid point (position
+        # AND normal), not at a shared far point: a far-parked row in a
+        # mixed chunk blows that chunk's bbox/ball to 1e6 m and defeats
+        # the gated kernel's high-side pruning on exactly the hole-y
+        # frames track() feeds it. Anchored phantoms keep chunk bounds
+        # tight around the real geometry and stay EXACT - a phantom that
+        # wins a tie against its anchor returns bit-identical row data.
+        # Chunks with no valid point keep the far park (lo == 1e6 is
+        # strictly above any query band, so they always prune), which
+        # also keeps the all-invalid-frame behavior (nothing in gate).
+        from pose_refine_tpu.scene.nn_pallas import S_CHUNK
+
         far = jnp.float32(1.0e6)  # meters; beyond any gate, ssq << BIG
-        p_tab = jnp.where(m[:, None], p, far)
+        nr = p.shape[0]
+        pad = (-nr) % S_CHUNK
+        mp = jnp.concatenate([m, jnp.zeros((pad,), bool)]) if pad else m
+        pp = jnp.concatenate([p, jnp.zeros((pad, 3), p.dtype)]) if pad else p
+        nn_ = jnp.concatenate([n, jnp.zeros((pad, 3), n.dtype)]) if pad else n
+        mc = mp.reshape(-1, S_CHUNK)
+        pc = pp.reshape(-1, S_CHUNK, 3)
+        nch = nn_.reshape(-1, S_CHUNK, 3)
+        first = jnp.argmax(mc, axis=1)[:, None, None]  # first valid (0 if none)
+        anchor_p = jnp.take_along_axis(pc, first, axis=1)  # (nc, 1, 3)
+        anchor_n = jnp.take_along_axis(nch, first, axis=1)
+        has_valid = mc.any(axis=1)[:, None, None]
+        park_p = jnp.where(has_valid, anchor_p, far)
+        park_n = jnp.where(has_valid, anchor_n, 0.0)
+        p_tab = jnp.where(mc[..., None], pc, park_p).reshape(-1, 3)[:nr]
+        n_tab = jnp.where(mc[..., None], nch, park_n).reshape(-1, 3)[:nr]
         flash_table = pack_scene(p_tab)
         packed = jnp.concatenate(
-            [p_tab, n, jnp.zeros((p.shape[0], 2), jnp.float32)], axis=1
+            [p_tab, n_tab, jnp.zeros((nr, 2), jnp.float32)], axis=1
         )
         one_i = jnp.zeros((1,), jnp.int32)
         return cls(
             points=p_tab,
-            normals=n,
+            normals=n_tab,
             table=packed,
             flash_table=flash_table,
             flash_boxes=chunk_boxes(flash_table),

@@ -361,6 +361,16 @@ def nn_flash_gated(queries, scene_table, boxes, max_dist,
             f"stacked scene table width {scene_table.shape[1]} is not "
             f"{frames} equal per-frame multiples of S_CHUNK={S_CHUNK}"
         )
+    if boxes.shape[0] * S_CHUNK != scene_table.shape[1]:
+        # the windowed scan derives its chunk count from boxes alone: a
+        # stale/mismatched box table would silently TRUNCATE the scene
+        # scan (tail points never considered) instead of erroring
+        raise ValueError(
+            f"boxes rows {boxes.shape[0]} do not cover the scene table "
+            f"({scene_table.shape[1]} cols / S_CHUNK={S_CHUNK} = "
+            f"{scene_table.shape[1] // S_CHUNK} chunks) - were they built "
+            "from this table?"
+        )
     q = jnp.asarray(queries, jnp.float32)
     flat = q.reshape(-1, 3)
     nq = flat.shape[0]
@@ -374,7 +384,11 @@ def nn_flash_gated(queries, scene_table, boxes, max_dist,
         jnp.asarray(max_dist, jnp.float32) * jnp.asarray(max_dist, jnp.float32),
         (1, 1),
     )
-    # bounding BALLS for the kernel's NN-distance upper-bound pass, as an
+    # bounding BALLS for the kernel's NN-distance upper-bound pass, derived
+    # from scene_table HERE rather than precomputed like flash_boxes: the
+    # derivation is one scene-sized reshape/min/max chain (O(S), microseconds
+    # next to the O(Q x S) scan it guards) and keeping it in-call lets the
+    # ub_ball A/B knob vary without a scene rebuild. As an
     # (8, Nb_pad) VMEM table [cx, cy, cz, r] over ub_ball-point sub-chunks
     # of the (Morton/kd-ordered) scene table: center = sub-chunk bbox
     # center, r = half-diagonal (covers every point in it). Finer balls

@@ -324,6 +324,54 @@ def test_scene_from_depth_device_matches_host_build():
         np.testing.assert_allclose(nh[vh], nd[vd], atol=1e-7)
 
 
+def test_scene_from_depth_device_chunks_stay_prunable():
+    """Invalid pixels in a MIXED chunk must be parked at the chunk's
+    first valid point, not at the 1e6 far point: a single far row blows
+    that chunk's bbox/ball to 1e6 m and defeats the gated kernel's
+    high-side pruning on exactly the hole-y frames track() feeds it
+    (all-invalid chunks keep the far park - lo == 1e6 always prunes)."""
+    import jax.numpy as jnp
+
+    from pose_refine_tpu import geometry
+    from pose_refine_tpu.scene.nn import SceneNN
+    from pose_refine_tpu.scene.nn_pallas import S_CHUNK
+
+    K = geometry.LINEMOD_K.copy()
+    K[:2] *= 0.25
+    rng = np.random.default_rng(9)
+    # ~40% holes: under the Morton perm most chunks are mixed
+    depth = (rng.uniform(250, 350, (64, 96)) *
+             (rng.random((64, 96)) > 0.4)).astype(np.int32)
+    scene = SceneNN.from_depth_device(depth, K)
+
+    pts = np.asarray(scene.points)
+    n_rows = pts.shape[0]
+    nc = n_rows // S_CHUNK
+    chunks = pts[: nc * S_CHUNK].reshape(nc, S_CHUNK, 3)
+    has_real = (np.abs(chunks) < 1.0e5).all(axis=2).any(axis=1)
+    hi = chunks.max(axis=1)
+    # every chunk with any valid point has a TIGHT bbox (< 1 m extent
+    # here); chunks without stay parked far (and therefore prune too)
+    assert has_real.any()
+    assert (hi[has_real] < 1.0).all(), hi[has_real].max()
+    assert (chunks[~has_real] == 1.0e6).all()
+    # phantom rows are bitwise DUPLICATES of their chunk's anchor (the
+    # jnp/numpy builds differ by ~1 ULP, so compare within the device
+    # build only): the number of distinct (point, normal) rows cannot
+    # exceed the number of valid depth pixels, and querying any non-far
+    # row's position associates at distance zero (real geometry)
+    import jax.numpy as jnp_
+
+    nrm = np.asarray(scene.normals)
+    near = (np.abs(pts) < 1.0e5).all(axis=1)
+    distinct = {tuple(r.tolist()) for r in np.c_[pts, nrm][near]}
+    assert len(distinct) <= int((depth > 0).sum())
+    probe = pts[near][:256]
+    d, _, v = scene.query(jnp_.asarray(probe))
+    assert np.asarray(v).all()
+    np.testing.assert_array_equal(np.asarray(d), probe)
+
+
 def test_scene_from_depth_device_stride():
     """stride=2 subsamples the scene grid (the device analog of voxel
     downsampling): queries at kept pixels still associate exactly."""
