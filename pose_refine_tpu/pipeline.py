@@ -455,6 +455,12 @@ class PoseRefiner:
         if use_pallas is None:
             use_pallas = jax.default_backend() != "cpu"
         self.use_pallas = bool(use_pallas)
+        if lift not in ("window", "compact"):
+            # same rule as the scene-kind check above: a typo'd lift would
+            # silently take the compact path (TPU sort floor, different
+            # point budget, window/stride ignored)
+            raise ValueError(
+                f"unknown lift {lift!r}: expected 'window' or 'compact'")
         self.lift = lift
         self.window = (
             0 if self._auto_window else int(min(window, self.render_w, self.render_h))
@@ -516,6 +522,10 @@ class PoseRefiner:
         # consuming it (the check fires on the next synchronous call)
         self._check_saturation = False
         self._suppress_saturation = False
+        # set once a frame's host planning (ROI/window/extent) has run;
+        # device-resident track() frames reuse the standing plan after that
+        # instead of paying a full-frame D2H per call (_prepare_frame)
+        self._frame_planned = False
         # ICP early-exit granularity; >= max_iteration+1 means one fused
         # program (best for straggler-bound batches), small chunks re-check
         # convergence on the host between dispatches. "auto" picks per
@@ -822,10 +832,28 @@ class PoseRefiner:
             return "bruteforce"
         return "kdtree"
 
-    def _prepare_frame(self, scene_depth):
+    def _prepare_frame(self, scene_depth, allow_device_skip: bool = False):
         """Per-frame host-side planning shared by set_scene_depth and
         track(): unit sanity, auto lift sizing, ROI hysteresis/re-crop, and
-        the no-silent-caps window warning."""
+        the no-silent-caps window warning.
+
+        Host (numpy) frames always plan - the scans below are host-local
+        and free of device fences. DEVICE-resident frames on the tracking
+        path (allow_device_skip=True) would pay a full-frame D2H *and*
+        fence their producer per call - serializing exactly the
+        double-buffered loop track_async promises not to block - so after
+        the first planned frame they reuse the standing plan (ROI/window/
+        extent hysteresis at its strongest); the first device frame pays
+        one planning readback, or pass a host frame / call set_scene_depth
+        first to avoid even that."""
+        if (
+            allow_device_skip
+            and self._frame_planned
+            and isinstance(scene_depth, jax.Array)
+            and jax.default_backend() != "cpu"
+        ):
+            self._check_saturation = True
+            return
         d_max = float(np.max(np.asarray(scene_depth)))
         if 0.0 < d_max <= 50.0:
             # a depth image whose farthest point is 5 cm is almost certainly
@@ -858,6 +886,7 @@ class PoseRefiner:
                 "Enlarge window= or use lift='compact'.",
                 self._obj_extent_px, self.window,
             )
+        self._frame_planned = True
 
     def set_scene_depth(self, scene_depth):
         """Build the association structure from an (H, W) mm depth image.
@@ -1227,13 +1256,25 @@ class PoseRefiner:
                 "use scene='nn' / 'nn_bruteforce' (flash backend) or "
                 "set_scene_depth + refine"
             )
+        if self.scene_cascade is not None:
+            # loud, not silently inert: the fused in-program scene build has
+            # no coarse voxel twin, so a cascade configured here would just
+            # not run (the user would believe the measured 1.7-2.3x is
+            # active). Coarse-from-the-frame inside track() = scene_stride /
+            # scene_pool, which the fused build DOES support.
+            raise ValueError(
+                "scene_cascade applies to set_scene_depth/set_scene_cloud + "
+                "refine (it builds a coarse voxelized twin of a FIXED "
+                "scene); track() builds its scene in-program per frame - "
+                "use scene_stride or scene_pool for coarse tracking scenes"
+            )
         init_shape = np.shape(init_poses)  # no host materialization (see refine)
         if init_shape[-2:] != (4, 4) or len(init_shape) not in (2, 3):
             raise ValueError(
                 f"init_poses must be (4, 4) or (N, 4, 4) model->camera "
                 f"transforms, got {init_shape}"
             )
-        self._prepare_frame(frame_depth)
+        self._prepare_frame(frame_depth, allow_device_skip=True)
         init_poses = jnp.asarray(init_poses, jnp.float32)
         squeeze = init_poses.ndim == 2
         if squeeze:

@@ -38,6 +38,37 @@ from pose_refine_tpu.utils.fusion import CHI2_6_99, PoseTracker, se3_log
 _MOTIONS = ("random_walk", "constant_velocity")
 
 
+def _set_loop_config(self, motion, n_hypotheses, hypothesis_scale,
+                     min_quality, gate_chi2, max_innovation,
+                     from_state: bool = False):
+    """Validate + assign the shared per-frame loop config - ONE definition
+    for TrackingSession/MultiObjectSession x __init__/from_state (the four
+    copies had already begun to drift; a corrupted state must error with
+    the same invariants __init__ enforces, e.g. n_hypotheses=0 would
+    resume as mean-only tracking)."""
+    motion = str(motion)
+    if motion not in _MOTIONS:
+        raise ValueError(
+            f"state has unknown motion {motion!r}" if from_state
+            else f"motion must be one of {_MOTIONS}, got {motion!r}")
+    if int(n_hypotheses) < 1:
+        raise ValueError(
+            f"{'state ' if from_state else ''}n_hypotheses must be >= 1, "
+            f"got {n_hypotheses}")
+    if not float(hypothesis_scale) > 0.0:
+        raise ValueError(
+            f"{'state ' if from_state else ''}hypothesis_scale must be "
+            f"> 0, got {hypothesis_scale}")
+    self.motion = motion
+    self.n_hypotheses = int(n_hypotheses)
+    self.hypothesis_scale = float(hypothesis_scale)
+    self.min_quality = None if min_quality is None else float(min_quality)
+    self.gate_chi2 = None if gate_chi2 is None else float(gate_chi2)
+    self.max_innovation = (
+        None if max_innovation is None
+        else tuple(float(v) for v in max_innovation))
+
+
 class TrackStep(NamedTuple):
     """Everything one ``TrackingSession.step`` produced.
 
@@ -263,23 +294,12 @@ class TrackingSession:
         max_innovation=None,
         seed=0,
     ):
-        if motion not in _MOTIONS:
-            raise ValueError(f"motion must be one of {_MOTIONS}, got {motion!r}")
-        if int(n_hypotheses) < 1:
-            raise ValueError(f"n_hypotheses must be >= 1, got {n_hypotheses}")
-        if not float(hypothesis_scale) > 0.0:
-            raise ValueError(
-                f"hypothesis_scale must be > 0, got {hypothesis_scale}")
+        _set_loop_config(self, motion, n_hypotheses, hypothesis_scale,
+                         min_quality, gate_chi2, max_innovation)
         self.refiner = refiner
         self.tracker = PoseTracker(
             init_pose, init_cov=init_cov, process_noise=process_noise
         )
-        self.motion = motion
-        self.n_hypotheses = int(n_hypotheses)
-        self.hypothesis_scale = float(hypothesis_scale)
-        self.min_quality = min_quality
-        self.gate_chi2 = gate_chi2
-        self.max_innovation = max_innovation
         self._rng = np.random.default_rng(seed)
         self.n_frames = 0
         self._inflight = None  # step_async's pending (packed, motion)
@@ -468,8 +488,20 @@ class TrackingSession:
     def flush(self) -> Optional[TrackStep]:
         """Fence + fuse the last step_async frame (None if nothing is in
         flight). After flush(), pose/state_dict reflect every consumed
-        frame and step()/step_async() may be mixed freely again."""
-        return self._fuse_inflight()
+        frame and step()/step_async() may be mixed freely again.
+
+        Atomic like step()/step_async(): if the readback or filter update
+        raises (wedged-tunnel D2H, LinAlgError, gated-off se3_log error),
+        the tracker rolls back and the in-flight frame is re-installed so
+        a corrected flush() can retry it rather than losing the frame."""
+        prev_inflight = self._inflight
+        tracker_state = self.tracker.state_dict()
+        try:
+            return self._fuse_inflight()
+        except BaseException:
+            self.tracker = PoseTracker.from_state(tracker_state)
+            self._inflight = prev_inflight
+            raise
 
     # -- checkpoint/resume ------------------------------------------------
     # The refiner itself is rebuilt from (model, K, config) by the caller;
@@ -509,28 +541,10 @@ class TrackingSession:
         self = cls.__new__(cls)
         self.refiner = refiner
         self.tracker = PoseTracker.from_state(state["tracker"])
-        motion = str(state["motion"])
-        if motion not in _MOTIONS:
-            raise ValueError(f"state has unknown motion {motion!r}")
-        self.motion = motion
-        # same invariants __init__ enforces: a hand-edited/corrupted state
-        # must error, not silently degrade (n_hypotheses=0 would resume as
-        # mean-only tracking)
-        self.n_hypotheses = int(state["n_hypotheses"])
-        if self.n_hypotheses < 1:
-            raise ValueError(
-                f"state n_hypotheses must be >= 1, got {self.n_hypotheses}")
-        self.hypothesis_scale = float(state["hypothesis_scale"])
-        if not self.hypothesis_scale > 0.0:
-            raise ValueError(
-                f"state hypothesis_scale must be > 0, got "
-                f"{self.hypothesis_scale}")
-        mq = state["min_quality"]
-        self.min_quality = None if mq is None else float(mq)
-        gc = state["gate_chi2"]
-        self.gate_chi2 = None if gc is None else float(gc)
-        mi = state["max_innovation"]
-        self.max_innovation = None if mi is None else tuple(float(v) for v in mi)
+        _set_loop_config(
+            self, state["motion"], state["n_hypotheses"],
+            state["hypothesis_scale"], state["min_quality"],
+            state["gate_chi2"], state["max_innovation"], from_state=True)
         self._rng = np.random.default_rng(0)
         self._rng.bit_generator.state = json.loads(str(state["rng_state_json"]))
         self.n_frames = int(state["n_frames"])
@@ -591,13 +605,8 @@ class MultiObjectSession:
         objects = list(objects)
         if not objects:
             raise ValueError("MultiObjectSession needs at least one object")
-        if motion not in _MOTIONS:
-            raise ValueError(f"motion must be one of {_MOTIONS}, got {motion!r}")
-        if int(n_hypotheses) < 1:
-            raise ValueError(f"n_hypotheses must be >= 1, got {n_hypotheses}")
-        if not float(hypothesis_scale) > 0.0:
-            raise ValueError(
-                f"hypothesis_scale must be > 0, got {hypothesis_scale}")
+        _set_loop_config(self, motion, n_hypotheses, hypothesis_scale,
+                         min_quality, gate_chi2, max_innovation)
         self.refiner = refiner
         self.model_ids = []
         self.trackers = []
@@ -611,12 +620,6 @@ class MultiObjectSession:
             self.trackers.append(
                 PoseTracker(init_pose, init_cov=init_cov, process_noise=process_noise)
             )
-        self.motion = motion
-        self.n_hypotheses = int(n_hypotheses)
-        self.hypothesis_scale = float(hypothesis_scale)
-        self.min_quality = min_quality
-        self.gate_chi2 = gate_chi2
-        self.max_innovation = max_innovation
         self._rng = np.random.default_rng(seed)
         self.n_frames = 0
         self._inflight = None  # step_async's pending (packed, motions)
@@ -775,8 +778,19 @@ class MultiObjectSession:
 
     def flush(self) -> Optional[list]:
         """Fence + fuse the last step_async frame (None if nothing is in
-        flight)."""
-        return self._fuse_inflight()
+        flight). Atomic like step()/step_async(): on a failed readback or
+        filter update every tracker rolls back (a mid-list _fuse_all
+        failure would otherwise leave earlier objects fused and later
+        ones only predicted) and the frame is re-installed for retry."""
+        prev_inflight = self._inflight
+        tracker_states = [t.state_dict() for t in self.trackers]
+        try:
+            return self._fuse_inflight()
+        except BaseException:
+            self.trackers = [
+                PoseTracker.from_state(s) for s in tracker_states]
+            self._inflight = prev_inflight
+            raise
 
     def state_dict(self):
         """Exact loop state; ``from_state(refiner, state)`` resumes
@@ -822,26 +836,10 @@ class MultiObjectSession:
                 f"{len(self.trackers)} tracker states for "
                 f"{len(self.model_ids)} model ids"
             )
-        motion = str(state["motion"])
-        if motion not in _MOTIONS:
-            raise ValueError(f"state has unknown motion {motion!r}")
-        self.motion = motion
-        # same invariants __init__ enforces (see TrackingSession.from_state)
-        self.n_hypotheses = int(state["n_hypotheses"])
-        if self.n_hypotheses < 1:
-            raise ValueError(
-                f"state n_hypotheses must be >= 1, got {self.n_hypotheses}")
-        self.hypothesis_scale = float(state["hypothesis_scale"])
-        if not self.hypothesis_scale > 0.0:
-            raise ValueError(
-                f"state hypothesis_scale must be > 0, got "
-                f"{self.hypothesis_scale}")
-        mq = state["min_quality"]
-        self.min_quality = None if mq is None else float(mq)
-        gc = state["gate_chi2"]
-        self.gate_chi2 = None if gc is None else float(gc)
-        mi = state["max_innovation"]
-        self.max_innovation = None if mi is None else tuple(float(v) for v in mi)
+        _set_loop_config(
+            self, state["motion"], state["n_hypotheses"],
+            state["hypothesis_scale"], state["min_quality"],
+            state["gate_chi2"], state["max_innovation"], from_state=True)
         self._rng = np.random.default_rng(0)
         self._rng.bit_generator.state = json.loads(str(state["rng_state_json"]))
         self.n_frames = int(state["n_frames"])

@@ -1,3 +1,4 @@
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -853,6 +854,76 @@ def test_unknown_scene_kind_rejected_at_init():
         prt.PoseRefiner(m, K=K, scene="projectve")
     with pytest.raises(ValueError, match="unknown scene kind"):
         prt.PoseRefiner(m, K=K, scene="nn_flash")
+
+
+def test_unknown_lift_rejected_at_init():
+    """A typo'd lift must fail loudly, not silently take the compact path
+    (TPU sort floor, window/stride ignored, different point budget)."""
+    m = mesh.make_icosphere(radius=50.0, subdivisions=1)
+    K = geometry.LINEMOD_K.copy()
+    with pytest.raises(ValueError, match="unknown lift"):
+        prt.PoseRefiner(m, K=K, lift="Window")
+
+
+def test_track_rejects_scene_cascade():
+    """scene_cascade configures a coarse twin of a FIXED scene; track()
+    builds its scene in-program and has no twin - it must reject the knob
+    loudly rather than silently running full-res while the user believes
+    the measured cascade speedup is active."""
+    m = mesh.make_icosphere(radius=50.0, subdivisions=1)
+    K = geometry.LINEMOD_K.copy()
+    refiner = prt.PoseRefiner(m, K=K, width=160, height=120,
+                              use_pallas=False, scene="nn_bruteforce",
+                              scene_cascade=(2.0, 4))
+    pose = np.asarray(geometry.pose_from_Rt(
+        np.eye(3, dtype=np.float32), np.array([0, 0, 300], np.float32)))
+    depth = np.full((120, 160), 300, np.int32)
+    with pytest.raises(ValueError, match="scene_cascade applies to"):
+        refiner.track(depth, pose)
+
+
+def test_track_device_frames_reuse_frame_plan(monkeypatch):
+    """Device-resident frames on the tracking path must not pay a
+    full-frame D2H per call: after the first planned frame, _prepare_frame
+    reuses the standing ROI/window plan (host numpy frames always plan -
+    their scans are fence-free)."""
+    import pose_refine_tpu.pipeline as pl
+
+    m = mesh.make_icosphere(radius=50.0, subdivisions=1)
+    K = geometry.LINEMOD_K.copy()
+    K[:2] *= 0.25
+    refiner = prt.PoseRefiner(m, K=K, width=160, height=120,
+                              use_pallas=False, window=64, stride=1)
+    r = prt.PoseRenderer(m, K=K, width=160, height=120, backend="dense")
+    pose = np.asarray(geometry.pose_from_Rt(
+        np.eye(3, dtype=np.float32), np.array([0, 0, 300], np.float32)))
+    depth = np.asarray(r.render_depth(pose))[0].astype(np.int32)
+
+    calls = {"n": 0}
+    real = prt.PoseRefiner._object_stats
+
+    def counting(self, d):
+        calls["n"] += 1
+        return real(self, d)
+
+    monkeypatch.setattr(prt.PoseRefiner, "_object_stats", counting)
+    # the skip keys on jax.Array input + non-cpu backend; fake the backend
+    # check only inside pipeline's module namespace
+    monkeypatch.setattr(pl.jax, "default_backend", lambda: "tpu")
+    try:
+        dev_frame = jnp.asarray(depth)
+        refiner._prepare_frame(dev_frame, allow_device_skip=True)
+        assert calls["n"] == 1  # first device frame pays one planning scan
+        refiner._prepare_frame(dev_frame, allow_device_skip=True)
+        refiner._prepare_frame(dev_frame, allow_device_skip=True)
+        assert calls["n"] == 1  # later device frames reuse the plan
+        assert refiner._check_saturation  # but the per-frame guard re-arms
+        refiner._prepare_frame(depth, allow_device_skip=True)
+        assert calls["n"] == 2  # host numpy frames always plan
+        refiner._prepare_frame(dev_frame)  # set_scene_depth path: plans
+        assert calls["n"] == 3
+    finally:
+        monkeypatch.undo()
 
 
 def test_scene_cascade_validation():

@@ -553,6 +553,87 @@ def test_failed_fuse_rolls_back_multi_step_async(multi_setup, monkeypatch):
     assert session.flush() is not None
 
 
+def test_failed_flush_rolls_back(setup, monkeypatch):
+    """flush() must carry the same atomic contract as step()/step_async():
+    a failure during the final fuse (wedged-tunnel readback, LinAlgError
+    in the update) leaves the tracker untouched and the in-flight frame
+    re-installed for a corrected retry - not predicted-but-not-updated
+    with the frame discarded."""
+    import json as _json
+
+    import pose_refine_tpu.tracking as tracking_mod
+
+    m, K, r = setup
+    _, pose2, _ = reference_demo_poses()
+    session = prt.TrackingSession(_refiner(m, K), pose2, n_hypotheses=3,
+                                  seed=8)
+    depth = np.asarray(r.render_depth(pose2))[0].astype(np.int32)
+    assert session.step_async(depth) is None  # frame 1 in flight
+
+    rng_before = _json.dumps(session._rng.bit_generator.state)
+    tracker_before = session.tracker.state_dict()
+    inflight_before = session._inflight
+    n_before = session.n_frames
+
+    def boom(*a, **k):
+        raise np.linalg.LinAlgError("synthetic flush failure")
+
+    monkeypatch.setattr(tracking_mod, "_fuse_ranked_best", boom)
+    with pytest.raises(np.linalg.LinAlgError):
+        session.flush()
+    monkeypatch.undo()
+
+    assert session._inflight is inflight_before
+    assert _json.dumps(session._rng.bit_generator.state) == rng_before
+    _assert_state_equal(tracker_before, session.tracker.state_dict())
+    assert session.n_frames == n_before
+    # corrected retry fuses the SAME pending frame
+    step = session.flush()
+    assert step is not None and step.accepted
+    assert session.n_frames == n_before + 1
+
+
+def test_failed_flush_rolls_back_multi(multi_setup, monkeypatch):
+    """MultiObjectSession twin: a mid-list _fuse_all failure must not
+    leave earlier trackers fused while later ones only predicted."""
+    import json as _json
+
+    import pose_refine_tpu.tracking as tracking_mod
+
+    refiner, r_a, r_b, pose_a, pose_b = multi_setup
+    session = prt.MultiObjectSession(
+        refiner, [(0, pose_a), (1, pose_b)], n_hypotheses=3, seed=9)
+    depth = _composite(
+        np.asarray(r_a.render_depth(pose_a))[0].astype(np.int32),
+        np.asarray(r_b.render_depth(pose_b))[0].astype(np.int32))
+    assert session.step_async(depth) is None
+
+    trackers_before = [t.state_dict() for t in session.trackers]
+    inflight_before = session._inflight
+    n_before = session.n_frames
+
+    calls = {"n": 0}
+    real = tracking_mod._fuse_ranked_best
+
+    def boom_second(*a, **k):
+        calls["n"] += 1
+        if calls["n"] >= 2:  # first object fuses, second fails mid-list
+            raise np.linalg.LinAlgError("synthetic mid-list failure")
+        return real(*a, **k)
+
+    monkeypatch.setattr(tracking_mod, "_fuse_ranked_best", boom_second)
+    with pytest.raises(np.linalg.LinAlgError):
+        session.flush()
+    monkeypatch.undo()
+
+    assert session._inflight is inflight_before
+    for before, tracker in zip(trackers_before, session.trackers):
+        _assert_state_equal(before, tracker.state_dict())
+    assert session.n_frames == n_before
+    steps = session.flush()
+    assert steps is not None and all(s.accepted for s in steps)
+
+
 def test_failed_step_does_not_mutate_multi_session(multi_setup):
     """The MultiObjectSession twin of the rollback contract: every
     tracker's filter AND the shared rng stream roll back when the fused
