@@ -130,13 +130,12 @@ def main():
     use_pallas = jax.default_backend() != "cpu"
 
     def render_fn(poses_arr, roi=(0, 0, 0, 0)):
-        if use_pallas:
-            from pose_refine_tpu.ops.rasterize_pallas import rasterize_pallas
-
-            return rasterize_pallas(tris, poses_arr, WIDTH, HEIGHT, proj, roi=roi)
+        # the library's own dispatch (explicit backend= keeps its loud
+        # failure semantics) - no hand-rolled twin to drift from it
         import pose_refine_tpu.ops.rasterize as rz
 
-        return rz.rasterize_scatter(tris, poses_arr, WIDTH, HEIGHT, proj, roi=roi)
+        return rz.render(tris, poses_arr, WIDTH, HEIGHT, proj, roi=roi,
+                         backend="pallas" if use_pallas else "scatter")
 
     # observed scene: the model at the ground-truth pose
     t0 = time.perf_counter()
@@ -192,6 +191,7 @@ def main():
     depth2 = np.asarray(sync(render_fn(jnp.asarray(poses[0])[None])))[0]
     t0 = time.perf_counter()
     refiner.set_scene_depth(depth2)
+    sync(refiner.scene.table)  # unfenced timings are garbage on axon
     warm_init_s = time.perf_counter() - t0
     refiner.set_scene_depth(scene_depth)  # restore
     _emit({"metric": "scene_reinit_warm_ms", "value": round(warm_init_s * 1000, 1),
@@ -208,8 +208,12 @@ def main():
     )
     refiner_fr.set_scene_depth(scene_depth)
     poses_dev2 = jax.device_put(jnp.asarray(poses))
+    # same 24-iter budget as every other pipeline metric (runs before
+    # 2026-08-20 used the API-default 30 iters here, deflating this
+    # metric ~20% relative to the rest - resolution cost only now)
     t_fr, _ = _time_median(
-        lambda: refiner_fr.refine(poses_dev2), lambda o: sync((o[0],))
+        lambda: refiner_fr.refine(poses_dev2, criteria=CRIT),
+        lambda o: sync((o[0],))
     )
     _emit({"metric": "poses_per_sec_batch256_fullres_render", "value": round(N_POSES / t_fr, 1),
            "unit": "poses/sec", "wall_ms": round(t_fr * 1000, 1)})
@@ -380,7 +384,6 @@ def main():
     agreement = None
     try:
         from pose_refine_tpu import native
-        from pose_refine_tpu.ops.depth_to_cloud import depth_to_cloud
 
         if native.native_available():
             n_sub = 16
@@ -390,13 +393,28 @@ def main():
             )
             cpu_render_s = time.perf_counter() - t0
             clouds_v, valids_v = [], []
+            K_np = np.asarray(K, np.float32)
             for i in range(n_sub):
                 # full compacted cloud - the reference algorithm's own lift
                 # (scan-order compaction of a smaller budget would keep only
-                # the top image rows and bias its convergence)
-                c, v, _ = depth_to_cloud(dep_cc[i], K, max_points=32768)
-                clouds_v.append(np.asarray(c))
-                valids_v.append(np.asarray(v))
+                # the top image rows and bias its convergence). Host numpy:
+                # the jitted compact_points is a 307k-row scatter, which on
+                # the (occupied) TPU costs seconds of dispatch + D2H for
+                # inputs a CPU-only baseline needs host-side anyway
+                d = dep_cc[i]
+                vs, us = np.nonzero(d > 0)  # row-major == scan order
+                z = d[vs, us].astype(np.float32) / 1000.0
+                pts = np.stack([
+                    (us.astype(np.float32) - K_np[0, 2]) / K_np[0, 0] * z,
+                    (vs.astype(np.float32) - K_np[1, 2]) / K_np[1, 1] * z,
+                    z,
+                ], axis=-1)[:32768]
+                c = np.zeros((32768, 3), np.float32)
+                c[: len(pts)] = pts
+                v = np.zeros((32768,), bool)
+                v[: len(pts)] = True
+                clouds_v.append(c)
+                valids_v.append(v)
             scene_p = refiner.scene
             # best-of-2: single-shot timing on this 1-core host swings up
             # to 8x when background work (XLA compile threads) steals the

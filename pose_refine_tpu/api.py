@@ -42,15 +42,20 @@ class PoseRenderer:
         self.tris = jnp.asarray(self.model.tris[morton_order(self.model.tris)])
         self.backend = backend
         self.K = None
-        self.width = self.height = None
+        # constructor dims are remembered even without K: they become the
+        # defaults for a later set_K_width_height(K) (before this they were
+        # silently discarded and the caller had to re-pass them)
+        self.width = int(width)
+        self.height = int(height)
         self.proj_mat = None
         if K is not None:
             self.set_K_width_height(K, width, height)
 
-    def set_K_width_height(self, K, width: int, height: int):
+    def set_K_width_height(self, K, width: Optional[int] = None,
+                           height: Optional[int] = None):
         self.K = np.asarray(K, np.float32)
-        self.width = int(width)
-        self.height = int(height)
+        self.width = int(self.width if width is None else width)
+        self.height = int(self.height if height is None else height)
         self.proj_mat = geometry.compute_proj(self.K, self.width, self.height)
 
     def _render_raw(self, poses, down_sample: float = 1.0, roi=(0, 0, 0, 0)):

@@ -74,3 +74,19 @@ def test_pose_renderer_requires_K():
     r = prt.PoseRenderer(m)
     with pytest.raises(RuntimeError, match="set_K"):
         r.render_depth(np.eye(4, dtype=np.float32))
+
+
+def test_pose_renderer_deferred_K_keeps_constructor_dims():
+    """Constructor width/height must survive a deferred set_K_width_height
+    (they were silently discarded when K was absent, forcing the caller to
+    re-pass dims the constructor had already accepted)."""
+    m = mesh.make_icosphere(radius=30.0, subdivisions=1)
+    r = prt.PoseRenderer(m, width=320, height=240)
+    r.set_K_width_height(small_K())
+    assert (r.width, r.height) == (320, 240)
+    pose = np.asarray(geometry.pose_from_Rt(
+        np.eye(3, dtype=np.float32), np.array([0, 0, 300], np.float32)))
+    assert np.asarray(r.render_depth(pose)).shape == (1, 240, 320)
+    # explicit dims still override
+    r.set_K_width_height(small_K(), 160, 120)
+    assert (r.width, r.height) == (160, 120)
