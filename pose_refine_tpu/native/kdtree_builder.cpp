@@ -111,6 +111,14 @@ struct Builder {
             if (v < split_high) split_high = v;
           }
         }
+        if (li == left || li == right) {
+          // f32-degenerate node (widest extent <= 1 ULP: mid rounded onto
+          // the boundary and one side came out empty). An empty child
+          // would crash the next level's bbox pass; keep the node as an
+          // (oversized) leaf instead, order untouched - bit-matches the
+          // numpy builder's guard (scene/kdtree.py).
+          continue;
+        }
         std::memcpy(order + left, scratch.data() + left,
                     sizeof(int64_t) * (right - left));
 

@@ -169,6 +169,15 @@ def build_kdtree(points, normals, leaf_size: int = 10, backend: str = "auto") ->
 
             left_idx = seg[go_left]
             right_idx = seg[~go_left]
+            if len(left_idx) == 0 or len(right_idx) == 0:
+                # f32-degenerate node: the widest extent is <= 1 ULP, so
+                # mid rounded onto the boundary and one side came out
+                # empty - an empty child would crash the next level's
+                # bbox reduction. Points this node cannot separate at f32
+                # resolution stay one (oversized) leaf; traversal scans
+                # leaves by bounds, so exactness is unaffected. (The
+                # native builder mirrors this guard.)
+                continue
             # reference appends right-side elements from the back, reversing
             # their relative order (pcd_scene.cpp:129-130)
             index[left:left + len(left_idx)] = left_idx

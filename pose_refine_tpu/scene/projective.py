@@ -22,6 +22,30 @@ from pose_refine_tpu.ops.depth_to_cloud import depth_image_to_points
 from pose_refine_tpu.ops.normals import estimate_normals
 
 
+@jax.jit
+def _build_projective_table(depth, K):
+    """points + normals + packed (H*W, 8) table in one program (recompiles
+    once per frame resolution; the shape is static per camera)."""
+    pts, _mask = depth_image_to_points(depth, K)
+    nrm = estimate_normals(depth, K)
+    h, w = pts.shape[:2]
+    return jnp.concatenate(
+        [
+            pts.reshape(-1, 3),
+            nrm.reshape(-1, 3),
+            jnp.zeros((h * w, 2), jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+@jax.jit
+def _build_projective_table_stack(depths, K):
+    """K stacked frames' tables in one program (SceneProjectiveStack)."""
+    tables = jax.vmap(lambda d: _build_projective_table(d, K))(depths)
+    return tables.reshape(-1, 8)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SceneProjective:
@@ -41,18 +65,12 @@ class SceneProjective:
     @classmethod
     def from_depth(cls, depth, K, max_dist_diff: float = 0.1) -> "SceneProjective":
         """Build from an (H, W) mm depth image: per-pixel dep2pcd + LINEMOD
-        normals (init_Scene_projective_cpu behavior)."""
-        pts, _mask = depth_image_to_points(depth, K)
-        nrm = estimate_normals(depth, K)
-        h, w = pts.shape[:2]
-        table = jnp.concatenate(
-            [
-                pts.reshape(-1, 3),
-                nrm.reshape(-1, 3),
-                jnp.zeros((h * w, 2), jnp.float32),
-            ],
-            axis=1,
-        )
+        normals (init_Scene_projective_cpu behavior). ONE jitted program:
+        eager jnp ops in build paths cost ~28 ms EACH on tunneled runtimes
+        (CLAUDE.md) - per-frame set_scene_depth loops pay that per op."""
+        depth = jnp.asarray(depth)
+        h, w = depth.shape
+        table = _build_projective_table(depth, jnp.asarray(K, jnp.float32))
         return cls(
             table=table,
             K=jnp.asarray(K, jnp.float32),
@@ -133,20 +151,7 @@ class SceneProjectiveStack:
             )
         k, h, w = depths.shape
         Kj = jnp.asarray(K, jnp.float32)
-
-        def build(d):
-            pts, _mask = depth_image_to_points(d, Kj)
-            return pts, estimate_normals(d, Kj)
-
-        pts, nrm = jax.vmap(build)(depths)
-        table = jnp.concatenate(
-            [
-                pts.reshape(-1, 3),
-                nrm.reshape(-1, 3),
-                jnp.zeros((k * h * w, 2), jnp.float32),
-            ],
-            axis=1,
-        )
+        table = _build_projective_table_stack(depths, Kj)
         return cls(
             table=table,
             K=Kj,

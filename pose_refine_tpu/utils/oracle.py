@@ -83,7 +83,6 @@ def icp_point_to_plane_numpy(cloud, query_fn, max_iteration=30,
     Returns (T 4x4, fitness, rmse, transformed cloud).
     """
     from pose_refine_tpu import geometry
-    import jax.numpy as jnp
 
     cloud = np.array(cloud, np.float32)
     n = len(cloud)
@@ -116,7 +115,12 @@ def icp_point_to_plane_numpy(cloud, query_fn, max_iteration=30,
         AtA = (A.T @ A).astype(np.float64) + 0.01 * np.eye(6)
         Atb = (A.T @ bv).astype(np.float64)
         x = np.linalg.solve(AtA, Atb)
-        upd = np.asarray(geometry.twist_to_mat4(jnp.asarray(x, jnp.float32)))
+        # numpy end-to-end: the jnp twist_to_mat4 would be an eager device
+        # dispatch per iteration (~28-30 ms each on tunneled runtimes)
+        x32 = x.astype(np.float32)
+        upd = np.eye(4, dtype=np.float32)
+        upd[:3, :3] = geometry._euler_to_rotation_np(x32[0:3])
+        upd[:3, 3] = x32[3:6]
         cloud = cloud @ upd[:3, :3].T + upd[:3, 3]
         T = upd @ T
     return T, fitness, rmse, cloud

@@ -96,6 +96,37 @@ def test_duplicate_points_build(rng):
     np.testing.assert_allclose(np.asarray(dst)[0], [0.1, 0.2, 0.5], rtol=1e-6)
 
 
+def test_one_ulp_extent_builds_as_leaf(rng):
+    """f32-degenerate node: when the widest extent is 1 ULP, the bbox
+    midpoint rounds onto the boundary and one partition side comes out
+    empty - before the guard this built an empty child and crashed the
+    next level's bbox reduction (zero-size min). Such nodes must stay
+    (oversized) leaves, and queries must stay exact."""
+    x_lo = np.float32(1.0)
+    x_hi = np.nextafter(x_lo, np.float32(2.0), dtype=np.float32)
+    pts = np.full((12, 3), 0.5, np.float32)
+    pts[:, 0] = x_hi
+    pts[0, 0] = x_lo  # single point at the low boundary -> empty 'less' side
+    nrm = np.tile(np.array([[0, 0, -1.0]], np.float32), (12, 1))
+    tree = build_kdtree(pts, nrm, leaf_size=10)  # must not raise
+    # root cannot split a 1-ULP extent: stays one oversized leaf
+    assert tree.child[0, 0] == -1 and tuple(tree.bounds[0]) == (0, 12)
+
+    scene = SceneNN.from_cloud(pts, nrm, max_dist_diff=1.0)
+    q = np.array([[x_lo, 0.5, 0.49]], np.float32)
+    dst, _, valid = scene.query(q)
+    assert bool(np.asarray(valid)[0])
+    np.testing.assert_allclose(np.asarray(dst)[0], [x_lo, 0.5, 0.5], rtol=0)
+
+    from pose_refine_tpu import native
+
+    if native.native_available():
+        t_cc = build_kdtree(pts, nrm, leaf_size=10, backend="native")
+        np.testing.assert_array_equal(t_cc.points, tree.points)
+        np.testing.assert_array_equal(t_cc.child, tree.child)
+        np.testing.assert_array_equal(t_cc.bounds, tree.bounds)
+
+
 def test_single_leaf_tree(rng):
     pts, nrm = random_cloud(rng, 5)  # below leaf_size: root is a leaf
     scene = SceneNN.from_cloud(pts, nrm, max_dist_diff=10.0)
